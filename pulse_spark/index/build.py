@@ -1,0 +1,140 @@
+"""Distributed inverted-index build — the Spark-first replacement for the
+reference's SPIMI pipeline (pkg/spimi/spimi.go:33-228).
+
+Where the reference tokenizes on worker goroutines behind a mutex-guarded
+in-memory lexicon, spills partial indexes on a memory watchdog, and merges
+them sequentially, this builder declares the same computation as a
+DataFrame plan and lets Spark's shuffle machinery do the spilling and the
+merge:
+
+  transcripts ──mapInPandas tokenize──► exploded terms
+      ──groupBy(doc,term).count()──► postings (tf)           [shuffle 1]
+      ──groupBy(term).agg(df,max_tf)──► terms                [shuffle 2*]
+      ──agg(count,avg)──► stats (N, ADL)
+
+(*) partial/map-side aggregation makes shuffle 2 carry one row per
+(task, term) — the salted two-phase pattern the north rule asks for is
+exactly Catalyst's partial+final HashAggregate; an explicit salt column is
+only needed for order-sensitive merges (segment building), where we avoid
+per-term grouping entirely by range-partitioning on (term, doc_id) and
+cutting bounded blocks inside each partition (segments.py).
+
+The build is stage-checkpointed: each stage commits a parquet directory
+and a manifest entry with per-partition row counts (lineage); re-running
+with the same out_dir skips completed stages (see checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.text.udfs import doc_len_bytes, doc_no, make_tokenizer_udf, trimmed
+
+# ---------------------------------------------------------------------------
+# logical-plan builders (no IO) — shared by the persisted build and the
+# in-memory harness queries
+# ---------------------------------------------------------------------------
+
+
+def docs_df(transcripts: DataFrame) -> DataFrame:
+    """One row per turn: (doc_no, conv_id, turn_idx, text, doc_len).
+
+    doc_len = bytes of ASCII-trimmed raw text (reference spimi.go:109 via
+    ms-marco.go:70); every turn counts toward N/ADL even if it tokenizes
+    to nothing (builder.add is unconditional, builder.go:38-47).
+    """
+    t = trimmed("text")
+    return transcripts.select(
+        doc_no().alias("doc_no"),
+        "conv_id",
+        "turn_idx",
+        t.alias("text"),
+        F.octet_length(t).alias("doc_len"),
+    )
+
+
+def postings_df(docs: DataFrame, settings: IndexingSettings) -> DataFrame:
+    """(term, doc_no, tf, doc_len): the exploded inverted index.
+
+    Equivalent of the reference's per-partition Lexicon accumulation +
+    global merge (lexicon.go:28-42, spimi.go:123-228) in one shuffle.
+    doc_len is denormalized into the posting row so scoring never joins
+    the docs table (the reference likewise reads (docno,size) per hit).
+    """
+    tok = make_tokenizer_udf(settings.preprocess)
+    exploded = docs.select(
+        "doc_no", "doc_len", F.explode(tok(F.col("text"))).alias("term")
+    )
+    return exploded.groupBy("term", "doc_no", "doc_len").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+
+
+def terms_df(postings: DataFrame) -> DataFrame:
+    """Global term table: (term, df, max_tf) — the merged lexicon
+    (df summed, max_tf maxed across partitions; spimi.go:196-197).
+    Catalyst's partial+final hash aggregate is the salted two-phase merge."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+def stats_df(docs: DataFrame) -> DataFrame:
+    """(n_docs, adl): corpus size + average doc length (stats.go:8-12).
+    Exact mean — the reference's incremental/weighted mean converges to
+    the same value (collection.go:22, stats.go:19-23)."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("adl"),
+    )
+
+
+def assign_doc_ids(spark: SparkSession, docs: DataFrame, num_partitions: int) -> DataFrame:
+    """Dense, deterministic doc_id = rank of (conv_id, turn_idx).
+
+    Scalable two-phase assignment (no global window): range-partition by
+    the key, number rows within each sorted partition, then add exclusive
+    partition-offset prefix sums (tiny driver-side table, broadcast back).
+    Pure function of the data — never monotonically_increasing_id().
+    """
+    parted = (
+        docs.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+            ).cast("long") - 1,
+        )
+    )
+    # NOTE: the window above partitions by _pid — each range partition is
+    # one window partition, so no data movement beyond the range shuffle.
+    parted = parted.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    out = (
+        parted.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+    return out
+
+
+def with_term_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Stable hash bucket of the term — the physical partition key of the
+    postings/segments layout. Query-side computes the same bucket for its
+    terms and gets partition pruning on the scan."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))

@@ -1,0 +1,127 @@
+"""Persisted index build + load.
+
+Layout (out_dir):
+  manifest.json                 settings + stage lineage (checkpoint.py)
+  docs/                         (doc_id, doc_no, conv_id, turn_idx, doc_len)
+  postings/bucket=B/            (term, doc_id, doc_no, tf, doc_len)
+                                sorted by (term, doc_id) within files →
+                                parquet row-group min/max prune on term
+  terms/                        (term, df, max_tf)
+  stats/                        single row (n_docs, adl)
+  segments/bucket=B/            (M3) block-compressed postings, see
+                                segments.py
+
+Equivalent of the reference's data/dump/<i>/ files (SURVEY §1.2) with the
+merge (spimi.go:123-228) replaced by shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.index import build as B
+from pulse_spark.index import checkpoint as ckpt
+
+
+@dataclass
+class Index:
+    out_dir: str
+    settings: IndexingSettings
+    docs: DataFrame
+    postings: DataFrame
+    terms: DataFrame
+    n_docs: int
+    adl: float
+
+    @property
+    def has_segments(self) -> bool:
+        return os.path.isdir(os.path.join(self.out_dir, "segments"))
+
+
+def build_persisted_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    settings: IndexingSettings = IndexingSettings(),
+    num_doc_partitions: int | None = None,
+    build_segments: bool = False,
+) -> Index:
+    """Stage-checkpointed build; resumable — completed stages are skipped."""
+    manifest = ckpt.load_manifest(out_dir)
+    ckpt.check_settings(manifest, settings)
+    ckpt.save_manifest(out_dir, manifest)
+    npart = num_doc_partitions or spark.sparkContext.defaultParallelism
+
+    # stage: docs (with dense deterministic doc_id)
+    if ckpt.stage_done(manifest, "docs"):
+        docs = ckpt.read_stage(spark, out_dir, "docs")
+    else:
+        d = B.docs_df(transcripts)
+        d = B.assign_doc_ids(spark, d, npart)
+        docs = ckpt.commit_stage(out_dir, manifest, "docs", d)
+
+    # stage: postings, hash-bucketed by term, term-sorted within files
+    if ckpt.stage_done(manifest, "postings"):
+        postings = ckpt.read_stage(spark, out_dir, "postings")
+    else:
+        p = B.postings_df(docs, settings).join(
+            docs.select("doc_no", "doc_id"), "doc_no"
+        )
+        p = B.with_term_bucket(p, settings.term_buckets)
+        # one file-partition per bucket, rows clustered by (term, doc_id):
+        # scans for a query term prune to 1 bucket dir + few row groups
+        p = p.repartition(settings.term_buckets, "bucket")
+        postings = ckpt.commit_stage(
+            out_dir, manifest, "postings", p,
+            partition_by=["bucket"], sort_within=["term", "doc_id"],
+        )
+
+    # stage: terms (global lexicon merge: df sum, max_tf max)
+    if ckpt.stage_done(manifest, "terms"):
+        terms = ckpt.read_stage(spark, out_dir, "terms")
+    else:
+        terms = ckpt.commit_stage(out_dir, manifest, "terms", B.terms_df(postings))
+
+    # stage: stats
+    if ckpt.stage_done(manifest, "stats"):
+        stats = ckpt.read_stage(spark, out_dir, "stats")
+    else:
+        stats = ckpt.commit_stage(out_dir, manifest, "stats", B.stats_df(docs))
+
+    if build_segments and not ckpt.stage_done(manifest, "segments"):
+        from pulse_spark.index import segments as seg
+        seg.build_segments(spark, out_dir, manifest, postings, settings)
+
+    row = stats.collect()[0]
+    return Index(
+        out_dir=out_dir,
+        settings=settings,
+        docs=docs,
+        postings=postings,
+        terms=terms,
+        n_docs=int(row["n_docs"]),
+        adl=float(row["adl"]),
+    )
+
+
+def load_index(spark: SparkSession, out_dir: str) -> Index:
+    """Open an existing index; settings come from the manifest, mirroring
+    the reference's stats.bin coupling (engine.go:38-43)."""
+    manifest = ckpt.load_manifest(out_dir)
+    if manifest["settings"] is None:
+        raise FileNotFoundError(f"no index manifest at {out_dir}")
+    settings = IndexingSettings.from_dict(manifest["settings"])
+    docs = ckpt.read_stage(spark, out_dir, "docs")
+    postings = ckpt.read_stage(spark, out_dir, "postings")
+    terms = ckpt.read_stage(spark, out_dir, "terms")
+    row = ckpt.read_stage(spark, out_dir, "stats").collect()[0]
+    return Index(
+        out_dir=out_dir, settings=settings, docs=docs,
+        postings=postings, terms=terms,
+        n_docs=int(row["n_docs"]), adl=float(row["adl"]),
+    )

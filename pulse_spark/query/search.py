@@ -1,0 +1,123 @@
+"""Top-k BM25/TFIDF search as a DataFrame plan.
+
+The reference's DAAT k-way posting merge (search.go:119-159) is a
+docID-aligned merge — relationally, exactly `GROUP BY doc` over the
+exploded postings of the query terms.  Its per-partition bounded heap +
+global heap merge (search.go:49-74) is Spark's partial top-k; here it is a
+window rank filter after aggregation (the WAND fast path in wand.py does
+real per-partition heaps inside mapInPandas).
+
+Scale notes (the part that must survive 100 TB):
+  - Query terms are collected driver-side (a query set is tiny by
+    definition) and pushed into the postings scan as
+    `bucket IN (...) AND term IN (...)` literals → parquet partition
+    pruning on `bucket` + row-group min/max pruning on the term-sorted
+    files. Only matching posting lists are ever read — the same
+    "pushdown by construction" the reference gets from its lexicon seek
+    (search.go:89-117).
+  - The per-occurrence query-term table is broadcast; the big side never
+    shuffles before aggregation.
+  - groupBy(query_id, doc_no) uses partial aggregation; the final top-k
+    window sees only the per-query survivor sets.
+
+Semantics pinned to the reference:
+  - duplicate query tokens score once PER OCCURRENCE (search.go:30-46
+    never dedups) — posexplode keeps multiplicity;
+  - terms absent from the corpus are silently dropped, and conjunctive
+    mode then requires all REMAINING distinct terms (search.go:113-116,
+    138-141);
+  - BM25 k1=1.3 b=0.5, natural log, global df, doc_len in bytes
+    (metric.go:18-19, search.go:174-187);
+  - tie-break (score desc, doc_no asc) — the reference's heap order is
+    unspecified; tests compare equal-score groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulse_spark.config import BM25_B, BM25_K1
+from pulse_spark.index.build import with_term_bucket
+from pulse_spark.index.persist import Index
+from pulse_spark.text.udfs import make_tokenizer_udf
+
+
+def score_expr(metric: str, n_docs: int, adl: float) -> Column:
+    """Per-(posting-row, query-token-occurrence) score contribution."""
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    tf = F.col("tf").cast("double")
+    if metric.upper() == "BM25":
+        denom = BM25_K1 * ((1 - BM25_B) + BM25_B * (F.col("doc_len") / F.lit(adl))) + tf
+        return tf / denom * idf
+    if metric.upper() == "TFIDF":
+        return (1 + F.log(tf)) * idf
+    raise ValueError(f"{metric} is not a valid metric")
+
+
+def tokenize_queries(queries: DataFrame, index: Index) -> DataFrame:
+    """(query_id, pos, term): one row per token OCCURRENCE, preprocessed
+    with the settings persisted in the index (engine.go:38-43 coupling)."""
+    tok = make_tokenizer_udf(index.settings.preprocess)
+    return queries.select(
+        "query_id", F.posexplode(tok(F.col("text"))).alias("pos", "term")
+    )
+
+
+def search_topk(
+    index: Index,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "BM25",
+    conjunctive: bool = False,
+    prune_scan: bool = True,
+) -> DataFrame:
+    """Returns (query_id, rank, doc_no, score); rank 0-based like the
+    reference's TREC output (cmd/search.go:92-95)."""
+    if metric.upper() not in ("BM25", "TFIDF"):
+        raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
+    qt = tokenize_queries(queries, index)
+    # global-term lookup: inner join drops absent terms (search.go:29-46)
+    qt = qt.join(index.terms.select("term", "df"), "term")
+
+    postings = index.postings
+    if prune_scan:
+        # driver-side literal pushdown — queries are small by definition
+        q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        if not q_terms:
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, rank int, doc_no string, score double"
+            )
+        if "bucket" in postings.columns:
+            buckets = sorted({
+                r["bucket"]
+                for r in with_term_bucket(
+                    qt.select("term").distinct(), index.settings.term_buckets
+                ).select("bucket").collect()
+            })
+            postings = postings.where(F.col("bucket").isin(buckets))
+        postings = postings.where(F.col("term").isin(q_terms))
+
+    matched = postings.join(
+        F.broadcast(qt), "term"
+    ).withColumn("part_score", score_expr(metric, index.n_docs, index.adl))
+
+    per_doc = matched.groupBy("query_id", "doc_no").agg(
+        F.sum("part_score").alias("score"),
+        F.count_distinct("term").alias("_hit_terms"),
+    )
+
+    if conjunctive:
+        n_terms = qt.groupBy("query_id").agg(
+            F.count_distinct("term").alias("_n_terms")
+        )
+        per_doc = per_doc.join(F.broadcast(n_terms), "query_id").where(
+            F.col("_hit_terms") == F.col("_n_terms")
+        )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_no"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("query_id", "rank", "doc_no", "score")
+    )

@@ -1,0 +1,135 @@
+"""End-to-end rank-identity: Spark engine vs the pure-Python pulse
+oracle on the deterministic transcripts fixture — BM25/TFIDF ×
+disjunctive/conjunctive over the full reference query set (FIXTURES.md §2),
+plus index-table golds (df/max_tf/N/ADL) and the per-turn text-equality
+invariant (north rule)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pulse_spark import oracle
+from pulse_spark.config import IndexingSettings
+from pulse_spark.fixtures import gen_queries
+from pulse_spark.index.persist import build_persisted_index, load_index
+from pulse_spark.query.search import search_topk
+
+
+@pytest.fixture(scope="session")
+def settings():
+    return IndexingSettings(stopwords_removal=True, stemming=True, term_buckets=8)
+
+
+@pytest.fixture(scope="session")
+def spark_index(spark, transcripts_path, settings, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "idx")
+    transcripts = spark.read.parquet(transcripts_path)
+    return build_persisted_index(spark, transcripts, out, settings)
+
+
+@pytest.fixture(scope="session")
+def oracle_index(oracle_docs, settings):
+    return oracle.build_index(oracle_docs, settings.preprocess)
+
+
+def groups(ranked):
+    """Collapse a ranked [(doc, score)] list into equal-score groups for
+    tie-insensitive comparison (reference heap order is unspecified)."""
+    out, cur, cur_s = [], set(), None
+    for doc, s in ranked:
+        if cur_s is None or abs(s - cur_s) > 1e-9:
+            if cur:
+                out.append((cur_s, cur))
+            cur, cur_s = set(), s
+        cur.add(doc)
+    if cur:
+        out.append((cur_s, cur))
+    return out
+
+
+def assert_rank_identical(spark_rows, oracle_ranked, k):
+    got = [(r["doc_no"], r["score"]) for r in sorted(spark_rows, key=lambda r: r["rank"])]
+    exp = oracle_ranked[:k]
+    assert len(got) == len(exp)
+    g_groups, e_groups = groups(got), groups(exp)
+    # group-by-group: same score, same membership — except possibly the
+    # last (cut) group, where only containment within the oracle's full
+    # equal-score cohort is required
+    full = None
+    for i, ((gs, gdocs), (es, edocs)) in enumerate(zip(g_groups, e_groups)):
+        assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12), (i, gs, es)
+        if i < len(g_groups) - 1:
+            assert gdocs == edocs, (i, gdocs ^ edocs)
+        else:
+            full = gdocs, gs
+    if full is not None:
+        gdocs, gs = full
+        # last group may be truncated by k: verify membership in the
+        # oracle's full cohort at that score
+        assert gdocs <= full_cohort(oracle_ranked, gs), gdocs
+
+
+def full_cohort(ranked, s):
+    return {d for d, sc in ranked if math.isclose(sc, s, rel_tol=1e-9, abs_tol=1e-12)}
+
+
+@pytest.mark.parametrize("metric", ["BM25", "TFIDF"])
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_topk_rank_identity(spark, spark_index, oracle_index, metric, conjunctive):
+    k = 10
+    queries = gen_queries()
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    res = search_topk(spark_index, qdf, k=k, metric=metric, conjunctive=conjunctive)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in queries:
+        exp = oracle.search(oracle_index, text, k=k, metric=metric, conjunctive=conjunctive)
+        got = by_q.get(qid, [])
+        assert_rank_identical(got, exp, k)
+
+
+def test_terms_table_matches_oracle(spark_index, oracle_index):
+    got = {r["term"]: (r["df"], r["max_tf"]) for r in spark_index.terms.collect()}
+    exp = {
+        t: (len(p), max(p.values()))
+        for t, p in oracle_index.postings.items()
+    }
+    assert got == exp
+
+
+def test_stats_match_oracle(spark_index, oracle_index):
+    assert spark_index.n_docs == oracle_index.n_docs
+    assert math.isclose(spark_index.adl, oracle_index.adl, rel_tol=1e-12)
+
+
+def test_doc_ids_dense_and_ordered(spark_index):
+    rows = spark_index.docs.select("doc_id", "conv_id", "turn_idx").collect()
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    ids = [r["doc_id"] for r in rows]
+    assert ids == list(range(len(rows)))  # dense rank of (conv_id, turn_idx)
+
+
+def test_per_turn_text_equality_invariant(spark, spark_index, transcripts_path):
+    """North-rule invariant: the docs stage must reproduce
+    (conv_id, turn_idx) -> trimmed text exactly under stable ordering."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(transcripts_path).to_pylist()
+    exp = {(r["conv_id"], r["turn_idx"]): r["text"].strip(oracle.ASCII_WS) for r in src}
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in spark_index.docs.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == exp
+
+
+def test_resume_skips_completed_stages(spark, spark_index, oracle_index):
+    """Re-opening and re-building over a completed index must not recompute
+    (manifest short-circuit) and must serve identical results."""
+    idx2 = load_index(spark, spark_index.out_dir)
+    assert idx2.n_docs == spark_index.n_docs
+    assert idx2.settings == spark_index.settings
+    assert idx2.terms.count() == len(oracle_index.postings)
