@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship BM25 top-k over sf0.001 documents
+queries()       — named operators from SURVEY.md §2 (+ data-pipeline ops)
+oracle_sql()    — DuckDB-equivalent SQL for the order-insensitive
+                  value-hash correctness gate
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: disjunctive BM25 top-10 over the reference-style
+    query set on sf0.001 documents."""
+    from pulse_spark.harness import q_bm25_topk
+
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pulse_spark import harness
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(harness.FULLTEXT_QUERIES)
+    try:
+        from pulse_spark.datapipe import harness as dp_harness
+
+        out.update(dp_harness.DATAPIPE_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pulse_spark import harness
+
+    out: dict[str, str] = {}
+    out.update(harness.FULLTEXT_ORACLES)
+    try:
+        from pulse_spark.datapipe import harness as dp_harness
+
+        out.update(dp_harness.DATAPIPE_ORACLES)
+    except ImportError:
+        pass
+    return out

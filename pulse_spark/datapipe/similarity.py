@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute_cosine_topk: exact top-k by cosine — the correctness baseline.
+    All math is JVM-side higher-order functions (zip_with + aggregate):
+    no Python, no UDF, whole-stage codegen.
+  - lsh_buckets / lsh_cosine_topk: random-hyperplane LSH — the scale
+    path.  Planes are deterministic (seeded md5 → ±1 entries), embedded
+    as literals so the DuckDB oracle reproduces bucket assignment
+    exactly.  At 100 TB: bucket the corpus once (one scan), broadcast
+    query buckets, probe only matching buckets (multi-probe on nearby
+    buckets for recall).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LSH_BITS = 16
+
+
+def _plane_sign(bit: int, dim: int) -> int:
+    """Deterministic ±1 from md5 — reproducible in any engine."""
+    h = hashlib.md5(f"plane|{bit}|{dim}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def lsh_planes(dim: int, bits: int = LSH_BITS) -> list[list[int]]:
+    return [[_plane_sign(b, j) for j in range(dim)] for b in range(bits)]
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, vec_id, cosine): exact top-k per query vector
+    (queries = rows of the same table, excluded from their own results).
+    Ranking orders by round(cosine, 6) then vec_id for cross-engine
+    determinism."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    nrm = e.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = (
+        nrm.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+        )
+    )
+    joined = nrm.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("query_id"))
+    sim = joined.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < k)
+        .select(
+            F.col("query_id").cast("long"),
+            "rank",
+            F.col("vec_id").cast("long"),
+            "cosine",
+        )
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-random-projection bucket id in [0, 2^bits)."""
+    planes = lsh_planes(dim, bits)
+    v = _to_double(F.col(vec_col))
+    bucket = F.lit(0)
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(s)) for s in plane])
+        bit = (_dot(v, p) > 0).cast("int")
+        bucket = bucket + bit * F.lit(2 ** b)
+    return embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), bucket.cast("long").alias("bucket")
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 10,
+    bits: int = LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to same-LSH-bucket
+    candidates (single-probe). Recall measured in tests vs brute force."""
+    bk = lsh_buckets(embeddings, dim, bits, id_col, vec_col)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _to_double(F.col(vec_col)).alias("v")
+    ).join(bk, "vec_id")
+    nrm = e.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = (
+        nrm.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = nrm.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).where(F.col("vec_id") != F.col("query_id"))
+    sim = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < k)
+        .select(
+            F.col("query_id").cast("long"),
+            "rank",
+            F.col("vec_id").cast("long"),
+            "cosine",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding-cosine near-duplicate pairs.
+    Brute all-pairs here (oracle-checkable); the LSH-bucket join is the
+    scale path (pairs only within buckets)."""
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

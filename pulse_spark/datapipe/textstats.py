@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.
+
+All of these are pure column expressions (JVM-side, whole-stage codegen —
+no Python in the hot path); each has an exact DuckDB oracle in
+datapipe/harness.py.  At 100 TB these run as a single scan with no
+shuffle (per-row projections), so they pipeline with any downstream op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pulse_spark.text.stopwords import STOPWORDS
+from pulse_spark.text.udfs import trimmed
+
+# BPE-ish token regex: letter runs, digit runs, single other-glyphs
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of the lowercased text (array<string>)."""
+    return F.filter(
+        F.split(F.lower(trimmed(col)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality signals: byte/char/token counts, stopword ratio,
+    digit ratio, mean token length, composite quality in [0,1]."""
+    t = F.col("text")
+    toks = ws_tokens(t)
+    n_chars = F.length(trimmed(t)).cast("double")
+    n_tokens = F.size(toks).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("double")
+    # ratio of DISTINCT stopwords present / distinct tokens (set semantics
+    # keep the SQL oracle simple: array_intersect is set-valued)
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    digits = (
+        n_chars - F.length(F.regexp_replace(F.lower(trimmed(t)), "[0-9]", ""))
+    ).cast("double")
+    bpe_count = F.size(F.regexp_extract_all(F.lower(trimmed(t)), F.lit(TOKEN_RE), 0))
+    out = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.octet_length(trimmed(t)).cast("long").alias("n_bytes"),
+        n_tokens.alias("n_tokens"),
+        bpe_count.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_distinct > 0, n_stop / n_distinct).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)), 6
+        ).alias("digit_ratio"),
+        F.round(
+            F.when(
+                n_tokens > 0,
+                (n_chars - (n_tokens - 1)) / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_token_len"),
+    )
+    # composite quality: rewards 20-200 token docs, penalizes digit soup
+    q = (
+        F.least(F.col("n_tokens").cast("double") / 20.0, F.lit(1.0))
+        * (1.0 - F.col("digit_ratio"))
+    )
+    return out.withColumn("quality", F.round(F.greatest(q, F.lit(0.0)), 6))
+
+
+def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Stopword-density language ID: English text carries a high density
+    of English stopwords. Output (id, en_stop_ratio, pred_en)."""
+    toks = ws_tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    )
+    ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.round(ratio, 6).alias("en_stop_ratio"),
+        (ratio >= 0.08).cast("boolean").alias("pred_en"),
+    )
+
+
+def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-text md5 of the normalized text plus a
+    min-shingle fingerprint (min md5 over 5-char shingles — the k=1
+    MinHash, a rolling-fingerprint analog)."""
+    norm = F.regexp_replace(F.lower(trimmed(F.col("text"))), r"\s+", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 4, 0)), "
+        "i -> md5(substring(_norm, i, 5)))"
+    )
+    return (
+        docs.withColumn("_norm", norm)
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.md5("_norm").alias("text_md5"),
+            F.array_min(shingles).alias("min_shingle_md5"),
+        )
+    )

@@ -1,0 +1,315 @@
+"""Driver-harness operators: every implemented operator from SURVEY.md §2
+exposed as a named (spark, sf_dir) -> DataFrame query with an equivalent
+DuckDB oracle SQL over the same parquet tables.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash):
+  - every aggregate/computed column aliased identically on both sides
+  - integer outputs CAST to long/BIGINT, floats to double, scores
+    round(6) to absorb summation-order ulps
+  - the SQL-checked fulltext ops run with stemming OFF (DuckDB has no
+    Porter; the reference supports --no-stemming, cmd/spimi.go) and
+    stopword removal ON; stemmed variants are exposed without an oracle
+    (weaker rows-only check) and are pinned by the pytest oracle instead.
+
+Query-text tokenization happens driver-side with the SAME Python pipeline
+the engine's pandas UDF uses, and is baked into the oracle SQL as VALUES —
+Spark-vs-DuckDB query parity holds by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.index.build import postings_df, terms_df
+from pulse_spark.query.search import topk_from_tables
+from pulse_spark.text.normalize import PreprocessSettings, tokens
+from pulse_spark.text.stopwords import STOPWORDS_SQL
+from pulse_spark.text.udfs import doc_len_bytes, make_tokenizer_udf
+
+# ---------------------------------------------------------------------------
+# fixed harness inputs
+# ---------------------------------------------------------------------------
+
+SETTINGS = IndexingSettings(stopwords_removal=True, stemming=False)
+SETTINGS_STEMMED = IndexingSettings(stopwords_removal=True, stemming=True)
+K = 10
+
+# reference-style query set over the documents vocabulary: multi-term,
+# duplicated term (scores twice), stopword-only, absent term, rare term
+HARNESS_QUERIES: list[tuple[int, str]] = [
+    (1, "spark join merge"),
+    (2, "window window"),
+    (3, "the hash vector"),
+    (4, "customer line value"),
+    (5, "dup"),
+    (6, "fast slow big small"),
+    (7, "scan table scan"),
+    (8, "zzz missing"),
+    (9, "a the of"),
+    (10, "group order sort key"),
+]
+
+
+def _q_occurrences(settings: PreprocessSettings) -> list[tuple[int, int, str]]:
+    """(query_id, pos, term) per token occurrence — same tokenizer as the
+    engine, run driver-side."""
+    out = []
+    for qid, text in HARNESS_QUERIES:
+        for pos, t in enumerate(tokens(text, settings)):
+            out.append((qid, pos, t))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared Spark building blocks
+# ---------------------------------------------------------------------------
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def docs_with_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_documents(spark, sf_dir).select(
+        "doc_id", "text", doc_len_bytes("text").cast("long").alias("doc_len")
+    )
+
+
+def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
+    p = postings_df(docs_with_len(spark, sf_dir), settings, id_col="doc_id")
+    return p.withColumn("tf", F.col("tf").cast("long"))
+
+
+def _stats(spark, sf_dir) -> tuple[int, float]:
+    r = docs_with_len(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
+    ).collect()[0]
+    return int(r["n"]), float(r["adl"])
+
+
+def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS) -> DataFrame:
+    p = _postings(spark, sf_dir, settings)
+    t = terms_df(p)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(settings.preprocess), "query_id long, pos int, term string"
+    )
+    res = topk_from_tables(
+        p, t, occ, n, adl, k=K, metric=metric, conjunctive=conjunctive,
+        id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL building blocks (DuckDB dialect, tables pre-registered)
+# ---------------------------------------------------------------------------
+
+# reference pipeline in SQL: lower -> strip html -> strip punct ->
+# split on whitespace -> drop empties -> drop stopwords.  (unicode
+# normalization is a no-op on this ASCII corpus; the pytest oracle covers
+# the non-ASCII path.)
+_TRIM = (
+    r"regexp_replace(regexp_replace(text, '^[ \t\n\r\f\x0B]+', ''),"
+    r" '[ \t\n\r\f\x0B]+$', '')"
+)
+
+
+def _toks_sql(stopwords: bool) -> str:
+    stop = f"AND NOT list_contains([{STOPWORDS_SQL}], x) " if stopwords else ""
+    return (
+        "list_filter(string_split_regex("
+        "regexp_replace(regexp_replace(lower(text), '<[^>]*>', ' ', 'g'),"
+        " '[^a-z0-9\\s]+', ' ', 'g'), '\\s+'), "
+        f"x -> x <> '' {stop})"
+    )
+
+
+_D_CTE = f"""
+d AS (
+  SELECT doc_id,
+         CAST(strlen({_TRIM}) AS BIGINT) AS doc_len,
+         {_toks_sql(True)} AS toks
+  FROM documents
+)"""
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, doc_len, unnest(toks) AS term,
+         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+  FROM d
+)"""
+
+_TF_CTE = """
+tf AS (
+  SELECT doc_id, doc_len, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+)"""
+
+_DF_CTE = """
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(max(tf) AS BIGINT) AS max_tf
+  FROM tf GROUP BY 1
+)"""
+
+_STATS_CTE = """
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(doc_len) AS adl FROM d)"""
+
+
+def _queries_values_sql() -> str:
+    occ = _q_occurrences(SETTINGS.preprocess)
+    rows = ", ".join(f"({qid}, {pos}, '{t}')" for qid, pos, t in occ)
+    return f"q(query_id, pos, term) AS (VALUES {rows})"
+
+
+def _topk_sql(metric: str, conjunctive: bool) -> str:
+    if metric == "BM25":
+        part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    else:  # TFIDF
+        part = "(1 + ln(tf.tf))"
+    having = (
+        "HAVING count(DISTINCT tf.term) = max(nt.n_terms)" if conjunctive else ""
+    )
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+nt AS (
+  SELECT q.query_id, count(DISTINCT q.term) AS n_terms
+  FROM q JOIN df ON df.term = q.term GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN nt ON nt.query_id = q.query_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+  {having}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# named operators: fulltext core
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    """B5/S4: corpus size + average document length (stats.go:8-12)."""
+    return docs_with_len(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("adl"),
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """T1-T6+T9: per-doc token count and byte length (trimmed)."""
+    tok = make_tokenizer_udf(SETTINGS.preprocess)
+    return docs_with_len(spark, sf_dir).select(
+        F.col("doc_id").cast("long"),
+        F.col("doc_len"),
+        F.size(tok(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+def q_tokens_exploded(spark, sf_dir):
+    """T1-T6 + position: the tokenized corpus (preprocess.Tokens)."""
+    tok = make_tokenizer_udf(SETTINGS.preprocess)
+    return load_documents(spark, sf_dir).select(
+        F.col("doc_id").cast("long"),
+        F.posexplode(tok(F.col("text"))).alias("pos", "term"),
+    ).select("doc_id", F.col("pos").cast("long"), "term")
+
+
+def q_term_tf(spark, sf_dir):
+    """T8/B3: per-(doc, term) frequencies (preprocess.go:36-46)."""
+    return _postings(spark, sf_dir).select(
+        F.col("doc_id").cast("long"), "term", F.col("tf").cast("long")
+    )
+
+
+def q_term_df(spark, sf_dir):
+    """B6: merged global lexicon (df sum, max_tf max; spimi.go:196-197)."""
+    return terms_df(_postings(spark, sf_dir)).select(
+        "term", F.col("df").cast("long"), F.col("max_tf").cast("long")
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Q5+Q8+Q9/Q10: disjunctive BM25 top-k (search.go:119-159,181-187)."""
+    return _topk(spark, sf_dir, "BM25", conjunctive=False)
+
+
+def q_bm25_conjunctive_topk(spark, sf_dir):
+    """Q6: conjunctive (intersection) BM25 top-k (search.go:138-141)."""
+    return _topk(spark, sf_dir, "BM25", conjunctive=True)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Q7: disjunctive TFIDF top-k (search.go:174-180)."""
+    return _topk(spark, sf_dir, "TFIDF", conjunctive=False)
+
+
+def q_bm25_stemmed_topk(spark, sf_dir):
+    """Q8 + T7: BM25 with Porter stemming (no SQL oracle — DuckDB cannot
+    stem; rank-identity is pinned by the pytest oracle instead)."""
+    return _topk(spark, sf_dir, "BM25", conjunctive=False, settings=SETTINGS_STEMMED)
+
+
+FULLTEXT_QUERIES = {
+    "corpus_stats": q_corpus_stats,
+    "doc_stats": q_doc_stats,
+    "tokens_exploded": q_tokens_exploded,
+    "term_tf": q_term_tf,
+    "term_df": q_term_df,
+    "bm25_topk": q_bm25_topk,
+    "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_stemmed_topk": q_bm25_stemmed_topk,
+}
+
+
+FULLTEXT_ORACLES = {
+    "corpus_stats": f"""
+WITH {_D_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(doc_len), 6) AS adl FROM d
+""",
+    "doc_stats": f"""
+WITH {_D_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, doc_len,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM d
+""",
+    "tokens_exploded": f"""
+WITH {_D_CTE}, {_TOK_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, term FROM tok
+""",
+    "term_tf": f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tf FROM tf
+""",
+    "term_df": f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}
+SELECT term, df, max_tf FROM df
+""",
+    "bm25_topk": _topk_sql("BM25", conjunctive=False),
+    "bm25_conjunctive_topk": _topk_sql("BM25", conjunctive=True),
+    "tfidf_topk": _topk_sql("TFIDF", conjunctive=False),
+    # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
+}

@@ -55,8 +55,10 @@ def docs_df(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def postings_df(docs: DataFrame, settings: IndexingSettings) -> DataFrame:
-    """(term, doc_no, tf, doc_len): the exploded inverted index.
+def postings_df(
+    docs: DataFrame, settings: IndexingSettings, id_col: str = "doc_no"
+) -> DataFrame:
+    """(term, <id_col>, tf, doc_len): the exploded inverted index.
 
     Equivalent of the reference's per-partition Lexicon accumulation +
     global merge (lexicon.go:28-42, spimi.go:123-228) in one shuffle.
@@ -65,9 +67,9 @@ def postings_df(docs: DataFrame, settings: IndexingSettings) -> DataFrame:
     """
     tok = make_tokenizer_udf(settings.preprocess)
     exploded = docs.select(
-        "doc_no", "doc_len", F.explode(tok(F.col("text"))).alias("term")
+        id_col, "doc_len", F.explode(tok(F.col("text"))).alias("term")
     )
-    return exploded.groupBy("term", "doc_no", "doc_len").agg(
+    return exploded.groupBy("term", id_col, "doc_len").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
     )
 

@@ -64,6 +64,63 @@ def tokenize_queries(queries: DataFrame, index: Index) -> DataFrame:
     )
 
 
+def topk_from_tables(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_occurrences: DataFrame,
+    n_docs: int,
+    adl: float,
+    k: int = 10,
+    metric: str = "BM25",
+    conjunctive: bool = False,
+    id_col: str = "doc_no",
+    tie_round: int | None = None,
+) -> DataFrame:
+    """Core scorer over raw index tables.
+
+    postings:      (term, <id_col>, tf, doc_len, ...)
+    terms:         (term, df, ...)
+    q_occurrences: (query_id, pos, term) — one row per token OCCURRENCE
+    Returns (query_id, rank, <id_col>, score), rank 0-based.
+
+    tie_round: if set, ranking orders by round(score, tie_round) so that
+    mathematically-equal scores (which can differ by summation-order ulps
+    across engines) tie-break deterministically on id_col — used by the
+    cross-engine oracle harness.
+    """
+    if metric.upper() not in ("BM25", "TFIDF"):
+        raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
+    # global-term lookup: inner join drops absent terms (search.go:29-46)
+    qt = q_occurrences.join(terms.select("term", "df"), "term")
+
+    matched = postings.join(
+        F.broadcast(qt), "term"
+    ).withColumn("part_score", score_expr(metric, n_docs, adl))
+
+    per_doc = matched.groupBy("query_id", id_col).agg(
+        F.sum("part_score").alias("score"),
+        F.count_distinct("term").alias("_hit_terms"),
+    )
+
+    if conjunctive:
+        n_terms = qt.groupBy("query_id").agg(
+            F.count_distinct("term").alias("_n_terms")
+        )
+        per_doc = per_doc.join(F.broadcast(n_terms), "query_id").where(
+            F.col("_hit_terms") == F.col("_n_terms")
+        )
+
+    order_key = (
+        F.round("score", tie_round) if tie_round is not None else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
 def search_topk(
     index: Index,
     queries: DataFrame,
@@ -77,8 +134,6 @@ def search_topk(
     if metric.upper() not in ("BM25", "TFIDF"):
         raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
     qt = tokenize_queries(queries, index)
-    # global-term lookup: inner join drops absent terms (search.go:29-46)
-    qt = qt.join(index.terms.select("term", "df"), "term")
 
     postings = index.postings
     if prune_scan:
@@ -98,26 +153,7 @@ def search_topk(
             postings = postings.where(F.col("bucket").isin(buckets))
         postings = postings.where(F.col("term").isin(q_terms))
 
-    matched = postings.join(
-        F.broadcast(qt), "term"
-    ).withColumn("part_score", score_expr(metric, index.n_docs, index.adl))
-
-    per_doc = matched.groupBy("query_id", "doc_no").agg(
-        F.sum("part_score").alias("score"),
-        F.count_distinct("term").alias("_hit_terms"),
-    )
-
-    if conjunctive:
-        n_terms = qt.groupBy("query_id").agg(
-            F.count_distinct("term").alias("_n_terms")
-        )
-        per_doc = per_doc.join(F.broadcast(n_terms), "query_id").where(
-            F.col("_hit_terms") == F.col("_n_terms")
-        )
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_no"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
-        .select("query_id", "rank", "doc_no", "score")
+    return topk_from_tables(
+        postings, index.terms, qt, index.n_docs, index.adl,
+        k=k, metric=metric, conjunctive=conjunctive, id_col="doc_no",
     )
