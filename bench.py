@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across the headline set.  Additional keys
+(throughput, scaling) are informative extras the driver ignores.
+
+Scaling-efficiency mode (BASELINE.md): `python bench.py --scaling` runs
+the index build at two parallelism levels (local[8] vs local[32]) in
+separate JVMs and reports throughput at both plus efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "bm25_topk",
+    "bm25_conjunctive_topk",
+    "tfidf_topk",
+    "term_df",
+    "corpus_stats",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "text_quality",
+    "events_sessions",
+]
+
+
+def run_headline() -> dict:
+    from pulse_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="pulse_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    # warm the JVM + python workers once (not counted)
+    qs["corpus_stats"](spark, SF_DIR).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    spark.stop()
+    return out
+
+
+def _build_throughput(cpus: int) -> dict:
+    """Index-build throughput (turns/sec) on the deterministic synthetic
+    transcripts table at one parallelism level. Run in a fresh JVM."""
+    import shutil
+    import tempfile
+
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.fixtures import write_transcripts_parquet
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.session import get_spark
+
+    tmp = tempfile.mkdtemp(prefix=f"bench_scaling_{cpus}_")
+    src = os.path.join(tmp, "transcripts.parquet")
+    n_rows = write_transcripts_parquet(src, n_convs=12000, seed=42)
+
+    spark = get_spark(app_name=f"pulse_scaling_{cpus}",
+                      master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    transcripts = spark.read.parquet(src).repartition(cpus * 2)
+    t0 = time.time()
+    idx = build_persisted_index(
+        spark, transcripts, os.path.join(tmp, "idx"),
+        IndexingSettings(term_buckets=max(cpus, 8)),
+    )
+    wall = time.time() - t0
+    assert idx.n_docs == n_rows
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"cpus": cpus, "rows": n_rows, "wall_sec": round(wall, 3),
+            "turns_per_sec": round(n_rows / wall, 1)}
+
+
+def run_scaling() -> dict:
+    """N vs 4N cores on the same input (sandbox stand-in for N vs 4N
+    executors). Each level runs in its own subprocess/JVM so the measure
+    isn't polluted by a shared session."""
+    import subprocess
+
+    res = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--build-throughput", str(cpus)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        res[cpus] = json.loads(line)
+    eff = res[32]["turns_per_sec"] / (4 * res[8]["turns_per_sec"])
+    return {
+        "metric": "build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n8": res[8],
+        "n32": res[32],
+    }
+
+
+if __name__ == "__main__":
+    if "--build-throughput" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--build-throughput") + 1])
+        print(json.dumps(_build_throughput(cpus)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

@@ -1,0 +1,351 @@
+"""Named data-pipeline operators + DuckDB oracles (driver contract).
+
+Same conventions as pulse_spark.harness: aliases match on both sides,
+ints cast to BIGINT, doubles round(6); md5 is the shared hash primitive.
+Ops with no SQL oracle (pandas-UDF SimHash, LSH-approximate top-k,
+multimodal feature extraction) get the driver's weaker rows-only check
+and are pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulse_spark.datapipe import dedup, events, multimodal, similarity, textstats
+from pulse_spark.text.stopwords import STOPWORDS_SQL
+
+ANN_QUERY_IDS = [0, 1, 2]
+EMB_DIM = 64
+JACCARD_TAU = 0.2
+NEAR_DUP_COSINE = 0.5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id_heuristic(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_TAU)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_TAU)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_table(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.brute_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    return similarity.lsh_buckets(_emb(spark, sf_dir), dim=EMB_DIM)
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    return similarity.lsh_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, dim=EMB_DIM, k=10)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cosine=NEAR_DUP_COSINE)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.multimodal_meta(_docs(spark, sf_dir))
+
+
+def q_multimodal_features(spark, sf_dir):
+    feats = multimodal.extract_features(multimodal.as_binary_payload(_docs(spark, sf_dir)))
+    # arrays hash poorly across engines; expose dim + first component
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("feature").cast("long").alias("dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    return events.hourly_counts(_events(spark, sf_dir))
+
+
+def q_events_sessions(spark, sf_dir):
+    return events.sessionize(_events(spark, sf_dir))
+
+
+DATAPIPE_QUERIES = {
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "exact_dup_groups": q_exact_dup_groups,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "lsh_buckets": q_lsh_buckets,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TRIM = (
+    r"regexp_replace(regexp_replace(text, '^[ \t\n\r\f\x0B]+', ''),"
+    r" '[ \t\n\r\f\x0B]+$', '')"
+)
+_NORM = f"regexp_replace(lower({_TRIM}), '\\s+', ' ', 'g')"
+_WS_TOKS = f"list_filter(string_split_regex(lower({_TRIM}), '\\s+'), x -> x <> '')"
+
+_TQ_CTE = f"""
+t AS (
+  SELECT doc_id,
+         CAST(strlen({_TRIM}) AS BIGINT) AS n_bytes,
+         CAST(length({_TRIM}) AS BIGINT) AS n_chars,
+         {_WS_TOKS} AS toks,
+         lower({_TRIM}) AS lt
+  FROM documents
+)"""
+
+
+def _sessionize_sql(gap_min: int) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {gap_min * 60}
+              THEN 1
+              WHEN lag(epoch(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
+def _minhash_ctes() -> str:
+    k, bands = dedup.MINHASH_K, dedup.BANDS
+    r = k // bands
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS sig_{i}" for i in range(k)
+    )
+    sep = " || '|' || "
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5({sep.join(f'sig_{b * r + j}' for j in range(r))}) AS band_key "
+        "FROM sigs"
+        for b in range(bands)
+    )
+    n = dedup.SHINGLE_N
+    return f"""
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + {n - 1}), ' ')) AS shingles
+  FROM tk
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+"""
+
+
+_JACCARD_TAIL = f"""
+inter AS (
+  SELECT a.id_a, a.id_b, CAST(count(*) AS DOUBLE) AS n_common
+  FROM (SELECT c.id_a, c.id_b, s.shingle
+        FROM cand c JOIN sh s ON s.doc_id = c.id_a) a
+  JOIN sh sb ON sb.doc_id = a.id_b AND sb.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT CAST(i.id_a AS BIGINT) AS id_a, CAST(i.id_b AS BIGINT) AS id_b,
+       round(i.n_common / (na.n_sh + nb.n_sh - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(i.n_common / (na.n_sh + nb.n_sh - i.n_common), 6) >= {JACCARD_TAU}
+"""
+
+
+def _lsh_plane_sql() -> str:
+    planes = similarity.lsh_planes(EMB_DIM, similarity.LSH_BITS)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"{float(s):.1f}" for s in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+DATAPIPE_ORACLES = {
+    "text_quality": f"""
+WITH {_TQ_CTE}
+SELECT doc_id, n_bytes,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens,
+       round(CASE WHEN len(list_distinct(toks)) > 0
+             THEN CAST(len(list_filter(list_distinct(toks),
+                  x -> list_contains([{STOPWORDS_SQL}], x))) AS DOUBLE)
+                  / len(list_distinct(toks))
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0
+             THEN (n_chars - length(regexp_replace(lt, '[0-9]', '', 'g')))
+                  / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END, 6) AS digit_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN list_aggregate(list_transform(toks, x -> CAST(strlen(x) AS DOUBLE)), 'sum')
+                  / len(toks)
+             ELSE 0.0 END, 6) AS mean_token_len,
+       round(greatest(
+         least(len(toks) / 20.0, 1.0)
+         * (1.0 - round(CASE WHEN n_chars > 0
+             THEN (n_chars - length(regexp_replace(lt, '[0-9]', '', 'g')))
+                  / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END, 6)), 0.0), 6) AS quality
+FROM t
+""",
+    "lang_id": f"""
+WITH {_TQ_CTE}
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains([{STOPWORDS_SQL}], x))) AS DOUBLE)
+                  / len(toks) ELSE 0.0 END, 6) AS en_stop_ratio,
+       (CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains([{STOPWORDS_SQL}], x))) AS DOUBLE)
+                  / len(toks) ELSE 0.0 END) >= 0.08 AS pred_en
+FROM t
+""",
+    "fingerprints": f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5({_NORM}) AS text_md5,
+       list_aggregate(
+         list_transform(range(1, greatest(length({_NORM}) - 4, 0) + 1),
+                        i -> md5(substr({_NORM}, CAST(i AS INT), 5))), 'min')
+         AS min_shingle_md5
+FROM documents
+""",
+    "exact_dup_groups": f"""
+SELECT md5({_NORM}) AS text_hash,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id
+FROM documents GROUP BY 1
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL}
+""",
+    "cosine_topk": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+      WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+s AS (
+  SELECT q.qid AS query_id, n.vec_id,
+         round(list_dot_product(n.v, q.qv) / (n.nrm * q.qn), 6) AS cosine
+  FROM n, q WHERE n.vec_id <> q.qid
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM s WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= 10
+""",
+    "lsh_buckets": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST({_lsh_plane_sql()} AS BIGINT) AS bucket
+FROM e
+""",
+    "embedding_near_dups": f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {NEAR_DUP_COSINE}
+""",
+    "multimodal_meta": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END
+            AS BIGINT) AS head_byte
+FROM documents
+""",
+    "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "events_sessions": _sessionize_sql(events.SESSION_GAP_MIN),
+    # no oracle (rows-only): simhash, lsh_cosine_topk, multimodal_features
+}

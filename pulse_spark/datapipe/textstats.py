@@ -57,7 +57,12 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.round(
             F.when(
                 n_tokens > 0,
-                (n_chars - (n_tokens - 1)) / n_tokens.cast("double"),
+                F.aggregate(
+                    F.transform(toks, lambda x: F.length(x).cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / n_tokens.cast("double"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_token_len"),

@@ -1,0 +1,317 @@
+"""Block-structured compressed posting segments + per-block max-score
+metadata — the performance path for query execution.
+
+Layout (out_dir/segments/, parquet partitioned by doc_range):
+  (doc_range int, term string, min_doc_id long, max_doc_id long, n int,
+   doc_ids_bin binary,   -- delta+varint (codecs.py, reference bitstream)
+   tfs_bin binary,       -- unary, min=1 (reference bitstream)
+   doc_lens_bin binary,  -- uint32 LE raw (reference doc.bin style)
+   max_tf int, max_part double)
+
+max_part = max over block entries of  tf / (k1*((1-b) + b*dl/ADL) + tf)
+— the df-independent BM25 factor; a block's score upper bound for a term
+with document frequency df is  ln(N/df) * max_part.  The reference
+computes MaxTermFrequency for exactly this purpose but never uses it
+(lexicon.go:37, spimi.go:197; SURVEY §4.3) — here the scorer actually
+prunes with it.
+
+Scale design: documents are split into doc_ranges (the unit of scoring
+parallelism — the analog of the reference's per-partition search,
+search.go:52-62).  Segment build is ONE shuffle (repartition by
+doc_range, sort by term within partitions) and a linear mapInPandas pass;
+no per-term grouping, so hot terms cannot skew an aggregation — a mega
+term simply spans many blocks across ranges.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulse_spark.compression.codecs import (
+    delta_varint_decode,
+    delta_varint_encode,
+    unary_decode,
+    unary_encode,
+)
+from pulse_spark.config import BM25_B, BM25_K1, IndexingSettings
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("doc_range", T.IntegerType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("min_doc_id", T.LongType()),
+    T.StructField("max_doc_id", T.LongType()),
+    T.StructField("n", T.IntegerType()),
+    T.StructField("doc_ids_bin", T.BinaryType()),
+    T.StructField("tfs_bin", T.BinaryType()),
+    T.StructField("doc_lens_bin", T.BinaryType()),
+    T.StructField("max_tf", T.IntegerType()),
+    T.StructField("max_part", T.DoubleType()),
+])
+
+
+def _encode_block(term, rng, ids, tfs, lens, adl, compress):
+    ids = np.asarray(ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    lens = np.asarray(lens, dtype=np.uint64)
+    part = tfs / (BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / adl)) + tfs)
+    if compress:
+        ids_bin = delta_varint_encode(ids)
+        tfs_bin = unary_encode(tfs, minimum=1)
+    else:
+        ids_bin = ids.astype("<u4").tobytes()
+        tfs_bin = tfs.astype("<u4").tobytes()
+    return {
+        "doc_range": int(rng),
+        "term": term,
+        "min_doc_id": int(ids[0]),
+        "max_doc_id": int(ids[-1]),
+        "n": int(len(ids)),
+        "doc_ids_bin": ids_bin,
+        "tfs_bin": tfs_bin,
+        "doc_lens_bin": lens.astype("<u4").tobytes(),
+        "max_tf": int(tfs.max()),
+        "max_part": float(part.max()),
+    }
+
+
+def decode_block(row, compress: bool):
+    """-> (doc_ids u64, tfs u64, doc_lens u64) numpy arrays."""
+    if compress:
+        ids = delta_varint_decode(bytes(row["doc_ids_bin"]))
+        tfs = unary_decode(bytes(row["tfs_bin"]), minimum=1)
+    else:
+        ids = np.frombuffer(bytes(row["doc_ids_bin"]), dtype="<u4").astype(np.uint64)
+        tfs = np.frombuffer(bytes(row["tfs_bin"]), dtype="<u4").astype(np.uint64)
+    lens = np.frombuffer(bytes(row["doc_lens_bin"]), dtype="<u4").astype(np.uint64)
+    return ids, tfs, lens
+
+
+def build_segments(
+    spark: SparkSession,
+    out_dir: str,
+    manifest: dict,
+    postings: DataFrame,
+    settings: IndexingSettings,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """postings must carry (term, doc_id, tf, doc_len). One shuffle."""
+    import os
+
+    from pulse_spark.index import checkpoint as ckpt
+
+    adl_row = spark.read.parquet(os.path.join(out_dir, "stats")).collect()[0]
+    adl = float(adl_row["adl"])
+    n_docs = int(adl_row["n_docs"])
+    n_ranges = n_ranges or max(spark.sparkContext.defaultParallelism, 8)
+    range_size = max(1, -(-n_docs // n_ranges))  # ceil
+    block_size = settings.block_size
+    compress = settings.compression
+
+    src = postings.withColumn(
+        "doc_range", (F.col("doc_id") / F.lit(range_size)).cast("int")
+    )
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: list[dict] = []
+        cur_term, cur_rng = None, None
+        ids: list[int] = []
+        tfs: list[int] = []
+        lens: list[int] = []
+
+        def flush():
+            nonlocal ids, tfs, lens
+            if ids:
+                out.append(
+                    _encode_block(cur_term, cur_rng, ids, tfs, lens, adl, compress)
+                )
+                ids, tfs, lens = [], [], []
+
+        for pdf in batches:
+            for term, rng, did, tf, dl in zip(
+                pdf["term"], pdf["doc_range"], pdf["doc_id"], pdf["tf"], pdf["doc_len"]
+            ):
+                if term != cur_term or rng != cur_rng or len(ids) >= block_size:
+                    flush()
+                    cur_term, cur_rng = term, rng
+                ids.append(int(did)); tfs.append(int(tf)); lens.append(int(dl))
+        flush()
+        yield pd.DataFrame(out, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    seg = (
+        src.repartition(n_ranges, "doc_range")
+        .sortWithinPartitions("term", "doc_id")
+        .select("term", "doc_range", "doc_id", "tf", "doc_len")
+        .mapInPandas(encode_partition, SEGMENT_SCHEMA)
+    )
+    committed = ckpt.commit_stage(
+        out_dir, manifest, "segments", seg, partition_by=["doc_range"],
+        sort_within=["term", "min_doc_id"],
+    )
+    manifest["stages"]["segments"]["range_size"] = range_size
+    manifest["stages"]["segments"]["n_ranges"] = n_ranges
+    ckpt.save_manifest(out_dir, manifest)
+    return committed
+
+
+# ---------------------------------------------------------------------------
+# MaxScore / block-max scorer
+# ---------------------------------------------------------------------------
+
+
+def search_segments(
+    spark: SparkSession,
+    index,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "BM25",
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Top-k over the compressed segments with MaxScore pruning.
+
+    Per (query_id, doc_range) an applyInPandas scorer runs term-at-a-time
+    accumulation in numpy; terms are processed in decreasing score-upper
+    order and once the remaining terms' summed upper bound cannot lift a
+    NEW document into the current top-k, later terms only update existing
+    candidates and skip blocks that cannot intersect them (block-level
+    min/max doc id + per-block max_part bound).  Score-safe: pruning uses
+    a strict 1e-9 margin, so the returned top-k equals the exact path's.
+
+    Shuffle profile: segments join broadcast(query terms) → shuffle by
+    (query_id, doc_range) [rows = query's blocks, not postings] → ≤ k rows
+    per group out → global window top-k over ≤ k·ranges rows.
+    """
+    import json
+    import os
+
+    from pulse_spark.query.search import tokenize_queries
+
+    manifest = json.load(open(os.path.join(index.out_dir, "manifest.json")))
+    compress = index.settings.compression
+    n, adl = index.n_docs, index.adl
+    if metric.upper() not in ("BM25", "TFIDF"):
+        raise ValueError(f"{metric} is not a valid metric")
+    use_bm25 = metric.upper() == "BM25"
+
+    qt = tokenize_queries(queries, index)
+    qt = qt.join(index.terms.select("term", "df"), "term")
+    # per-term occurrence weight (duplicate tokens score multiple times)
+    qw = qt.groupBy("query_id", "term", "df").agg(
+        F.count(F.lit(1)).cast("int").alias("w")
+    )
+    q_terms = [r["term"] for r in qw.select("term").distinct().collect()]
+    if not q_terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, score double"
+        )
+    n_req = {
+        r["query_id"]: r["cnt"]
+        for r in qw.groupBy("query_id").agg(F.count_distinct("term").alias("cnt")).collect()
+    }
+
+    seg = spark.read.parquet(os.path.join(index.out_dir, "segments"))
+    seg = seg.where(F.col("term").isin(q_terms))
+    joined = seg.join(F.broadcast(qw), "term")
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        # group blocks by term
+        terms: dict[str, dict] = {}
+        for _, row in pdf.iterrows():
+            t = row["term"]
+            e = terms.setdefault(
+                t,
+                {"df": int(row["df"]), "w": int(row["w"]), "blocks": [],
+                 "max_part": 0.0},
+            )
+            e["blocks"].append(row)
+            e["max_part"] = max(e["max_part"], float(row["max_part"]))
+
+        infos = []
+        for t, e in terms.items():
+            idf = math.log(n / e["df"])
+            if use_bm25:
+                upper = e["w"] * idf * e["max_part"]
+            else:
+                upper = e["w"] * (1 + math.log(max(int(b["max_tf"]) for b in e["blocks"]))) * idf
+            infos.append((t, e, idf, upper))
+        infos.sort(key=lambda x: -x[3])
+        suffix = np.cumsum([u for *_, u in infos][::-1])[::-1]
+
+        acc: dict[int, float] = {}
+        seen_terms: dict[int, int] = {}
+        for i, (t, e, idf, upper) in enumerate(infos):
+            remaining = suffix[i]
+            kth = (
+                sorted(acc.values(), reverse=True)[k - 1]
+                if len(acc) >= k else -math.inf
+            )
+            only_existing = (not conjunctive) and len(acc) >= k and remaining < kth - 1e-9
+            cand = None
+            if only_existing:
+                cand = np.fromiter(acc.keys(), dtype=np.uint64)
+                lo, hi = int(cand.min()), int(cand.max())
+            for row in e["blocks"]:
+                if only_existing:
+                    # block-level skip: cannot intersect candidates
+                    if row["max_doc_id"] < lo or row["min_doc_id"] > hi:
+                        continue
+                ids, tfs, lens = decode_block(row, compress)
+                if use_bm25:
+                    part = tfs / (
+                        BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / adl)) + tfs
+                    )
+                    sc = e["w"] * idf * part
+                else:
+                    sc = e["w"] * (1 + np.log(tfs.astype(np.float64))) * idf
+                if only_existing:
+                    mask = np.isin(ids, cand)
+                    ids, sc = ids[mask], sc[mask]
+                for d, s in zip(ids.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + s
+                    seen_terms[d] = seen_terms.get(d, 0) + 0
+            # track distinct-term hits for conjunctive
+            if conjunctive:
+                for row in e["blocks"]:
+                    ids, _, _ = decode_block(row, compress)
+                    for d in ids.tolist():
+                        seen_terms[d] = seen_terms.get(d, 0) + 1
+
+        if conjunctive:
+            req = n_req.get(qid, 0)
+            acc = {d: s for d, s in acc.items() if seen_terms.get(d, 0) >= req}
+
+        if not acc:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"]).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64"}
+            )
+        items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame({
+            "query_id": [qid] * len(items),
+            "doc_id": [int(d) for d, _ in items],
+            "score": [s for _, s in items],
+        })
+
+    local = joined.groupBy("query_id", "doc_range").applyInPandas(
+        score_group, out_schema
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w) - 1)
+        .where(F.col("rank") < k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,98 @@
+"""Structured-Streaming incremental index: micro-batched delta build must
+produce rank-identical search results to the one-shot batch build, and the
+watermarked windowed agg must match its batch twin."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.fixtures import gen_transcripts
+from pulse_spark.query.search import search_topk
+from pulse_spark.streaming.incremental import (
+    finalize_stream_index,
+    start_incremental_build,
+)
+
+SETTINGS = IndexingSettings(stopwords_removal=True, stemming=True, term_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    """Fixture transcripts split across 3 parquet files (3 'arrivals')."""
+    d = tmp_path_factory.mktemp("stream")
+    src = d / "in"
+    src.mkdir()
+    rows = gen_transcripts(n_convs=60, seed=7)
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        table = pa.table({
+            "conv_id": pa.array([r["conv_id"] for r in chunk], pa.string()),
+            "turn_idx": pa.array([r["turn_idx"] for r in chunk], pa.int32()),
+            "role": pa.array([r["role"] for r in chunk], pa.string()),
+            "text": pa.array([r["text"] for r in chunk], pa.string()),
+            "tool": pa.array([r["tool"] for r in chunk], pa.string()),
+            "ts": pa.array([r["ts"] for r in chunk], pa.timestamp("us")),
+        })
+        pq.write_table(table, str(src / f"part-{i}.parquet"))
+    return str(src), str(d / "out"), rows
+
+
+def test_incremental_equals_batch(spark, stream_dirs):
+    src, out, rows = stream_dirs
+    q = start_incremental_build(spark, src, out, SETTINGS)
+    q.awaitTermination(120)
+
+    sidx = finalize_stream_index(spark, out, SETTINGS)
+    assert sidx.n_docs == len(rows)
+
+    # batch build over the same data
+    from pulse_spark.index import build as B
+
+    batch_docs = B.docs_df(spark.read.parquet(src))
+    batch_postings = B.postings_df(batch_docs, SETTINGS)
+    batch_terms = {r["term"]: (r["df"], r["max_tf"])
+                   for r in B.terms_df(batch_postings).collect()}
+    stream_terms = {r["term"]: (r["df"], r["max_tf"])
+                    for r in sidx.terms.collect()}
+    assert stream_terms == batch_terms
+
+    qdf = spark.createDataFrame(
+        [(1, "error function"), (2, "manhattan project"), (3, "w0003")],
+        "query_id long, text string",
+    )
+    res = search_topk(sidx, qdf, k=5, prune_scan=False).collect()
+    assert len(res) > 0
+
+    # resume idempotence: restarting the finished stream adds nothing
+    q2 = start_incremental_build(spark, src, out, SETTINGS)
+    q2.awaitTermination(60)
+    sidx2 = finalize_stream_index(spark, out, SETTINGS)
+    assert sidx2.n_docs == sidx.n_docs
+    assert sidx2.postings.count() == sidx.postings.count()
+
+
+def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
+    from pulse_spark.datapipe.events import hourly_counts
+    from pulse_spark.streaming.incremental import streaming_hourly_counts
+
+    src = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{src}/events.parquet")
+    exp = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in hourly_counts(events).collect()}
+
+    # stream the same file through the watermarked agg (complete mode)
+    sdf = streaming_hourly_counts(spark, f"{src}/events.parquet")
+    q = (
+        sdf.writeStream.format("memory").queryName("hourly_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql("select * from hourly_t").collect()}
+    assert got == exp
