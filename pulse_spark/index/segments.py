@@ -281,12 +281,10 @@ def search_segments(
                     ids, sc = ids[mask], sc[mask]
                 for d, s in zip(ids.tolist(), sc.tolist()):
                     acc[d] = acc.get(d, 0.0) + s
-                    seen_terms[d] = seen_terms.get(d, 0) + 0
-            # track distinct-term hits for conjunctive
-            if conjunctive:
-                for row in e["blocks"]:
-                    ids, _, _ = decode_block(row, compress)
-                    for d in ids.tolist():
+                    if conjunctive:
+                        # conjunctive never prunes (only_existing False),
+                        # so every posting passes through here exactly once
+                        # per term — count distinct-term hits inline
                         seen_terms[d] = seen_terms.get(d, 0) + 1
 
         if conjunctive:

@@ -22,7 +22,6 @@ the whitespace-trimmed raw content (``pkg/spimi/spimi.go:109`` with
 from __future__ import annotations
 
 import re
-import sys
 import unicodedata
 from dataclasses import dataclass
 

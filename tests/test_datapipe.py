@@ -1,0 +1,113 @@
+"""Datapipe internals that the SQL oracles can't check: LSH recall vs
+brute force, SimHash locality, multimodal plumbing shapes, dedup
+behavior on actual duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_recall_vs_brute(spark):
+    from pulse_spark.datapipe.similarity import brute_cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    brute = brute_cosine_topk(emb, qids, k=10)
+    # 4-bit buckets here: 16-bit single-probe LSH over 500 random vectors
+    # leaves ~every vector alone in its bucket (recall→0 by design); the
+    # scale default assumes billions of vectors per bucket space
+    lsh = lsh_cosine_topk(emb, qids, dim=64, k=10, bits=4)
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    l = {}
+    for r in lsh.collect():
+        l.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # approximate: all LSH results must be real vectors, and candidates
+    # found must be a subset of docs (sanity) — recall is corpus-dependent;
+    # assert it's nonzero overall (single-probe 16-bit LSH is coarse)
+    total_overlap = sum(len(b[q] & l.get(q, set())) for q in b)
+    assert total_overlap >= 1
+    # every returned LSH neighbor shares the query's bucket by construction
+    assert all(len(v) <= 10 for v in l.values())
+
+
+def test_simhash_locality(spark):
+    from pulse_spark.datapipe.dedup import simhash_table
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical
+        (3, "the quick brown fox leaps over the lazy dog"),   # 1 token diff
+        (4, "completely different words entirely unrelated payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sh[1], sh[3]) <= 16
+    assert hamming(sh[1], sh[4]) > hamming(sh[1], sh[3])
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from pulse_spark.datapipe.dedup import exact_dup_groups, minhash_lsh_pairs
+
+    rows = [
+        (1, "spark join merge filter window"),
+        (2, "  SPARK  join merge filter window "),            # normalized dup
+        (3, "spark join merge filter window extra tail words here now"),
+        (4, "totally other content with many unique tokens present"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r["text_hash"]: r for r in exact_dup_groups(df).collect()}
+    sizes = sorted(r["n_docs"] for r in groups.values())
+    assert sizes == [1, 1, 2]
+    dup = [r for r in groups.values() if r["n_docs"] == 2][0]
+    assert dup["canonical_id"] == 1
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(df, min_jaccard=0.1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught
+
+
+def test_multimodal_plumbing(spark):
+    from pulse_spark.datapipe.multimodal import (
+        as_binary_payload,
+        decode_real,
+        extract_features,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    payloads = as_binary_payload(docs)
+    row = payloads.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["mime"] == "text/plain"
+
+    feats = extract_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG")
+
+
+def test_fingerprints_stability(spark):
+    from pulse_spark.datapipe.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "HELLO WORLD "), (3, "other text")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: (r["text_md5"], r["min_shingle_md5"])
+          for r in fingerprints(df).collect()}
+    assert fp[1] == fp[2]        # normalization collapses case/ws
+    assert fp[1] != fp[3]
