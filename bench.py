@@ -66,65 +66,89 @@ def run_headline() -> dict:
     return out
 
 
-def _build_throughput(cpus: int) -> dict:
-    """Index-build throughput (turns/sec) on the deterministic synthetic
-    transcripts table at one parallelism level. Run in a fresh JVM."""
-    import shutil
-    import tempfile
+SCALING_CONVS = int(os.environ.get("PULSE_SCALING_CONVS", "250000"))  # ~1.1M turns
 
+
+def _gen_scaling_input(tmp: str) -> str:
+    """Generate the shared benchmark input once (Spark-native generator,
+    deterministic; generation time is NOT part of the measurement)."""
+    from pulse_spark.fixtures import synth_transcripts_spark
+    from pulse_spark.session import get_spark
+
+    src = os.path.join(tmp, "transcripts")
+    spark = get_spark(app_name="pulse_scaling_gen", master="local[32]",
+                      shuffle_partitions=64)
+    synth_transcripts_spark(spark, SCALING_CONVS).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.stop()
+    return src
+
+
+def _build_throughput(cpus: int, src: str, tmp: str) -> dict:
+    """Index-build throughput (turns/sec) at one parallelism level, in a
+    fresh JVM, over the pre-generated shared input."""
     from pulse_spark.config import IndexingSettings
-    from pulse_spark.fixtures import write_transcripts_parquet
     from pulse_spark.index.persist import build_persisted_index
     from pulse_spark.session import get_spark
 
-    tmp = tempfile.mkdtemp(prefix=f"bench_scaling_{cpus}_")
-    src = os.path.join(tmp, "transcripts.parquet")
-    n_rows = write_transcripts_parquet(src, n_convs=12000, seed=42)
-
     spark = get_spark(app_name=f"pulse_scaling_{cpus}",
-                      master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
-    transcripts = spark.read.parquet(src).repartition(cpus * 2)
+                      master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    transcripts = spark.read.parquet(src)
     t0 = time.time()
     idx = build_persisted_index(
-        spark, transcripts, os.path.join(tmp, "idx"),
+        spark, transcripts, os.path.join(tmp, f"idx_{cpus}"),
         IndexingSettings(term_buckets=max(cpus, 8)),
+        num_doc_partitions=cpus * 2,
     )
     wall = time.time() - t0
-    assert idx.n_docs == n_rows
+    n_rows = idx.n_docs
     spark.stop()
-    shutil.rmtree(tmp, ignore_errors=True)
     return {"cpus": cpus, "rows": n_rows, "wall_sec": round(wall, 3),
             "turns_per_sec": round(n_rows / wall, 1)}
 
 
 def run_scaling() -> dict:
     """N vs 4N cores on the same input (sandbox stand-in for N vs 4N
-    executors). Each level runs in its own subprocess/JVM so the measure
-    isn't polluted by a shared session."""
+    executors; BASELINE.md). Each level runs in its own subprocess/JVM so
+    the measurement isn't polluted by a shared session; both read the
+    same pre-generated files."""
+    import shutil
     import subprocess
+    import tempfile
 
-    res = {}
-    for cpus in (8, 32):
-        p = subprocess.run(
-            [sys.executable, __file__, "--build-throughput", str(cpus)],
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        res[cpus] = json.loads(line)
-    eff = res[32]["turns_per_sec"] / (4 * res[8]["turns_per_sec"])
-    return {
-        "metric": "build_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "n8": res[8],
-        "n32": res[32],
-    }
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    try:
+        src = _gen_scaling_input(tmp)
+        res = {}
+        for cpus in (8, 32):
+            p = subprocess.run(
+                [sys.executable, __file__, "--build-throughput", str(cpus),
+                 "--src", src, "--tmp", tmp],
+                capture_output=True, text=True, timeout=3000,
+            )
+            lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"scaling child failed: {p.stderr[-2000:]}")
+            res[cpus] = json.loads(lines[-1])
+        eff = res[32]["turns_per_sec"] / (4 * res[8]["turns_per_sec"])
+        return {
+            "metric": "build_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "n8": res[8],
+            "n32": res[32],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
     if "--build-throughput" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--build-throughput") + 1])
-        print(json.dumps(_build_throughput(cpus)))
+        src = sys.argv[sys.argv.index("--src") + 1]
+        tmp = sys.argv[sys.argv.index("--tmp") + 1]
+        print(json.dumps(_build_throughput(cpus, src, tmp)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -58,6 +58,21 @@ def cmd_search(args) -> int:
     from pulse_spark.query.search import search_topk
 
     idx = load_index(spark, args.index)
+    if args.interactive:
+        # reference: query.InteractiveQueries stdin REPL (query.go:56-80)
+        print("pulse_spark> enter queries (ctrl-d to exit)", file=sys.stderr)
+        qid = 0
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            qdf = spark.createDataFrame([(qid, line)], "query_id long, text string")
+            res = search_topk(idx, qdf, k=args.k, metric=args.metric,
+                              conjunctive=args.conjunctive).collect()
+            for r in sorted(res, key=lambda r: r["rank"]):
+                print(f"{qid}\tQ0\t{r['doc_no']}\t{r['rank']}\t{r['score']:.6f}\tpulse_spark")
+            qid += 1
+        return 0
     if args.query:
         rows = [(0, args.query)]
     else:
@@ -101,6 +116,8 @@ def main(argv=None) -> int:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--metric", default="BM25", choices=["BM25", "TFIDF", "bm25", "tfidf"])
     s.add_argument("--conjunctive", action="store_true")
+    s.add_argument("--interactive", action="store_true",
+                   help="stdin REPL (reference query.go:56-80)")
     s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -119,6 +119,71 @@ def gen_queries() -> list[tuple[int, str]]:
     ]
 
 
+def synth_transcripts_spark(spark, n_convs: int, seed: int = 42):
+    """Spark-native deterministic transcripts generator for BENCHMARK
+    scale (all JVM expressions — millions of turns in seconds; the Python
+    generator above keeps the edge-case-rich fixture for correctness
+    tests).  Text is Zipf(1)-ish: rank = floor(V^u) with u hash-uniform,
+    so hot terms (stopwords at the head of the vocab) dominate like real
+    text and exercise the skew handling."""
+    from pyspark.sql import functions as F
+
+    vocab = _vocab(random.Random(seed))
+    v = len(vocab)
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+    convs = spark.range(n_convs).select(
+        F.format_string("c%09d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("cid"),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(8)) + 1).alias("n_turns"),
+    )
+    turns = convs.select(
+        "conv_id", "cid",
+        F.explode(F.sequence(F.lit(0), (F.col("n_turns") - 1).cast("int"))).alias("turn_idx"),
+    )
+    n_words = (F.pmod(F.xxhash64("cid", "turn_idx", F.lit(seed + 1)), F.lit(41))).cast("int")
+    u = (
+        F.pmod(F.xxhash64("cid", "turn_idx", F.col("_i"), F.lit(seed + 2)), F.lit(1000003))
+        / F.lit(1000003.0)
+    )
+    rank = F.least(
+        F.floor(F.pow(F.lit(float(v)), u)).cast("int") - 1, F.lit(v - 1)
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab_arr,
+            F.least(
+                F.floor(
+                    F.pow(
+                        F.lit(float(v)),
+                        F.pmod(
+                            F.xxhash64("cid", "turn_idx", i, F.lit(seed + 2)),
+                            F.lit(1000003),
+                        )
+                        / F.lit(1000003.0),
+                    )
+                ).cast("int"),
+                F.lit(v - 1),
+            )
+            + 1,
+        ),
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+            (F.pmod(F.xxhash64("cid", "turn_idx", F.lit(seed + 3)), F.lit(4)) + 1).cast("int"),
+        ).alias("role"),
+        F.array_join(words, " ").alias("text"),
+        F.lit("").alias("tool"),
+        (
+            F.lit("2025-06-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("cid") * 60 + F.col("turn_idx") * 30).cast("double"))
+        ).alias("ts"),
+    )
+
+
 def write_transcripts_parquet(path: str, n_convs: int = 200, seed: int = 42) -> int:
     """Write the fixture transcripts as one parquet file; returns n rows.
     Uses pyarrow directly (no Spark) so tests/oracles can share it."""

@@ -121,6 +121,15 @@ def topk_from_tables(
     )
 
 
+def with_doc_metadata(index: Index, results: DataFrame) -> DataFrame:
+    """Q11 (doc metadata fetch, inverseindex/document.go:47-61): join the
+    k·q winning doc_nos back to the docs table — broadcast of the tiny
+    result side, the big table never shuffles."""
+    return index.docs.select("doc_no", "conv_id", "turn_idx", "doc_len").join(
+        F.broadcast(results), "doc_no"
+    )
+
+
 def search_topk(
     index: Index,
     queries: DataFrame,
