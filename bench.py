@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+os.environ.setdefault("PULSE_DRIVER_MEM", "48g")  # local-mode JVM heap
 
 HEADLINE = [
     "bm25_topk",

@@ -26,11 +26,17 @@ with the same out_dir skips completed stages (see checkpoint.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulse_spark.config import IndexingSettings
-from pulse_spark.text.udfs import doc_len_bytes, doc_no, make_tokenizer_udf, trimmed
+from pulse_spark.text.udfs import (
+    doc_len_bytes,
+    doc_no,
+    make_term_freq_udf,
+    make_tokenizer_udf,
+    trimmed,
+)
 
 # ---------------------------------------------------------------------------
 # logical-plan builders (no IO) — shared by the persisted build and the
@@ -56,21 +62,30 @@ def docs_df(transcripts: DataFrame) -> DataFrame:
 
 
 def postings_df(
-    docs: DataFrame, settings: IndexingSettings, id_col: str = "doc_no"
+    docs: DataFrame,
+    settings: IndexingSettings,
+    id_col: str = "doc_no",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(term, <id_col>, tf, doc_len): the exploded inverted index.
+    """(term, <id_col>, tf, doc_len [, extra_cols]): the exploded
+    inverted index.
 
     Equivalent of the reference's per-partition Lexicon accumulation +
-    global merge (lexicon.go:28-42, spimi.go:123-228) in one shuffle.
-    doc_len is denormalized into the posting row so scoring never joins
-    the docs table (the reference likewise reads (docno,size) per hit).
+    global merge (lexicon.go:28-42, spimi.go:123-228) — with ZERO
+    shuffles: per-doc tf is computed inside the tokenizer UDF
+    (preprocess.Frequencies is doc-local), so the posting rows come out
+    of a single scan; only the df/max_tf lexicon merge (terms_df) and the
+    physical layout repartition shuffle.  doc_len (and optionally doc_id)
+    are denormalized into the posting row so scoring never joins the docs
+    table (the reference likewise reads (docno,size) per hit).
     """
-    tok = make_tokenizer_udf(settings.preprocess)
+    tf = make_term_freq_udf(settings.preprocess)
+    keep = [id_col, "doc_len", *extra_cols]
     exploded = docs.select(
-        id_col, "doc_len", F.explode(tok(F.col("text"))).alias("term")
+        *keep, F.explode(tf(F.col("text"))).alias("p")
     )
-    return exploded.groupBy("term", id_col, "doc_len").agg(
-        F.count(F.lit(1)).cast("int").alias("tf")
+    return exploded.select(
+        F.col("p.term").alias("term"), *keep, F.col("p.tf").alias("tf")
     )
 
 
@@ -94,7 +109,9 @@ def stats_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def assign_doc_ids(spark: SparkSession, docs: DataFrame, num_partitions: int) -> DataFrame:
+def assign_doc_ids(
+    spark: SparkSession, docs: DataFrame, num_partitions: int
+) -> tuple[DataFrame, DataFrame]:
     """Dense, deterministic doc_id = rank of (conv_id, turn_idx).
 
     Scalable two-phase assignment (no global window): range-partition by
@@ -102,9 +119,14 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, num_partitions: int) ->
     partition-offset prefix sums (tiny driver-side table, broadcast back).
     Pure function of the data — never monotonically_increasing_id().
     """
+    from pyspark.sql import Window
+
+    # JVM-side tagging: range-shuffle once, then a window keyed on the
+    # physical partition id.  (A mapInPandas tag was measured 2-3x slower
+    # here — it streams every text payload through Arrow+Python just to
+    # add two ints.)
     parted = (
         docs.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
         .withColumn(
             "_local",
@@ -112,10 +134,8 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, num_partitions: int) ->
                 Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
             ).cast("long") - 1,
         )
+        .persist()
     )
-    # NOTE: the window above partitions by _pid — each range partition is
-    # one window partition, so no data movement beyond the range shuffle.
-    parted = parted.persist()
     counts = {
         r["_pid"]: r["cnt"]
         for r in parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -132,7 +152,7 @@ def assign_doc_ids(spark: SparkSession, docs: DataFrame, num_partitions: int) ->
         .withColumn("doc_id", F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off")
     )
-    return out
+    return out, parted  # caller unpersists `parted` after materializing out
 
 
 def with_term_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

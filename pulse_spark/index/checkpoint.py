@@ -81,18 +81,33 @@ def commit_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     committed = spark.read.parquet(path)
-    # lineage: rows per physical input partition of the committed stage
-    part_counts = (
-        committed.withColumn("_p", F.spark_partition_id())
-        .groupBy("_p").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
+    # lineage: rows per committed file, read from parquet FOOTERS only —
+    # no Spark job, no data scan (metadata is exact)
     manifest["stages"][stage] = {
-        "rows": int(sum(r["c"] for r in part_counts)),
-        "partitions": {str(r["_p"]): int(r["c"]) for r in part_counts},
+        "rows": 0,
+        "partitions": {},
         "wall_sec": round(time.time() - t0, 3),
     }
+    part_counts = _footer_row_counts(path)
+    manifest["stages"][stage]["partitions"] = part_counts
+    manifest["stages"][stage]["rows"] = int(sum(part_counts.values()))
     save_manifest(out_dir, manifest)
     return committed
+
+
+def _footer_row_counts(path: str) -> dict[str, int]:
+    """{relative_file_path: num_rows} from parquet footers (driver-side,
+    metadata-only)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, path)
+                out[rel] = pq.ParquetFile(full).metadata.num_rows
+    return out
 
 
 def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:

@@ -62,16 +62,17 @@ def build_persisted_index(
         docs = ckpt.read_stage(spark, out_dir, "docs")
     else:
         d = B.docs_df(transcripts)
-        d = B.assign_doc_ids(spark, d, npart)
+        d, cached = B.assign_doc_ids(spark, d, npart)
         docs = ckpt.commit_stage(out_dir, manifest, "docs", d)
+        cached.unpersist()
 
     # stage: postings, hash-bucketed by term, term-sorted within files
     if ckpt.stage_done(manifest, "postings"):
         postings = ckpt.read_stage(spark, out_dir, "postings")
     else:
-        p = B.postings_df(docs, settings).join(
-            docs.select("doc_no", "doc_id"), "doc_no"
-        )
+        # doc_id rides through the tokenizer (extra_cols) — no join back
+        # to docs, so the only shuffle here is the bucket layout one
+        p = B.postings_df(docs, settings, extra_cols=("doc_id",))
         p = B.with_term_bucket(p, settings.term_buckets)
         # one file-partition per bucket, rows clustered by (term, doc_id):
         # scans for a query term prune to 1 bucket dir + few row groups

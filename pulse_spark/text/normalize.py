@@ -84,13 +84,17 @@ def _drop_char(ch: str) -> bool:
     return v
 
 
+_ASCII_CTRL = re.compile("[\x00-\x08\x0b-\x1f\x7f]")
+
+
 def normalize_unicode(s: str) -> str:
     """NFD → remove Mn + control chars (except \\n,\\t) → NFC."""
     if s.isascii():
-        # fast path: NFD/NFC are identity on ASCII; only C0 controls matter
-        if not any(ord(c) < 0x20 and c not in "\n\t" or ord(c) == 0x7F for c in s):
+        # fast path: NFD/NFC are identity on ASCII; only C0 controls +
+        # DEL matter (all category Cc except the kept \n \t)
+        if _ASCII_CTRL.search(s) is None:
             return s
-        return "".join(c for c in s if not (ord(c) < 0x20 and c not in "\n\t" or ord(c) == 0x7F))
+        return _ASCII_CTRL.sub("", s)
     d = unicodedata.normalize("NFD", s)
     d = "".join(c for c in d if not _drop_char(c))
     return unicodedata.normalize("NFC", d)

@@ -57,3 +57,37 @@ def make_tokenizer_udf(settings: PreprocessSettings):
         return texts.map(lambda t: tokens(t, s) if t is not None else [])
 
     return tokenize_udf
+
+
+def make_term_freq_udf(settings: PreprocessSettings):
+    """T1-T7 + T8 fused: str -> array<struct<term,tf>>.
+
+    Per-doc term frequencies are computed INSIDE the Arrow batch
+    (preprocess.Frequencies, preprocess.go:36-46), so the index build
+    needs no (term, doc) shuffle at all — tf is local to the document by
+    construction; only the df/max_tf merge aggregates across documents."""
+
+    stop = settings.stopwords_removal
+    stemming = settings.stemming
+    out_t = T.ArrayType(
+        T.StructType([
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+        ])
+    )
+
+    @pandas_udf(out_t)
+    def term_freq_udf(texts: pd.Series) -> pd.Series:
+        s = PreprocessSettings(stopwords_removal=stop, stemming=stemming)
+
+        def freqs(t):
+            if t is None:
+                return []
+            counts: dict[str, int] = {}
+            for tok in tokens(t, s):
+                counts[tok] = counts.get(tok, 0) + 1
+            return list(counts.items())
+
+        return texts.map(freqs)
+
+    return term_freq_udf

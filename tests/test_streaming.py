@@ -83,13 +83,19 @@ def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
     from pulse_spark.datapipe.events import hourly_counts
     from pulse_spark.streaming.incremental import streaming_hourly_counts
 
-    src = "/root/testdata/sf0.001"
-    events = spark.read.parquet(f"{src}/events.parquet")
+    import shutil
+
+    # file streaming sources need a DIRECTORY basePath — stage the file
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                str(stream_dir / "events.parquet"))
+    events = spark.read.parquet(str(stream_dir))
     exp = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
            for r in hourly_counts(events).collect()}
 
     # stream the same file through the watermarked agg (complete mode)
-    sdf = streaming_hourly_counts(spark, f"{src}/events.parquet")
+    sdf = streaming_hourly_counts(spark, str(stream_dir))
     q = (
         sdf.writeStream.format("memory").queryName("hourly_t")
         .outputMode("complete").trigger(availableNow=True).start()
