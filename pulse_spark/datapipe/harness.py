@@ -77,6 +77,12 @@ def q_lsh_cosine_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, dim=EMB_DIM, k=10)
 
 
+def q_ivf_cosine_topk(spark, sf_dir):
+    """IVF approximate ANN (no SQL oracle — k-means cells aren't SQL-
+    expressible; recall vs brute force is pinned in pytest)."""
+    return similarity.ivf_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cosine=NEAR_DUP_COSINE)
 
@@ -115,6 +121,7 @@ DATAPIPE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,

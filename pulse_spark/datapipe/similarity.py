@@ -147,6 +147,77 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means cells as the coarse
+    quantizer (seeded — deterministic), exact cosine only within the
+    query's n_probe nearest cells.
+
+    Scale path: cells partition the corpus once (one KMeans fit on a
+    sample + one assignment scan); a query probes n_probe/n_cells of the
+    data.  Recall measured in tests vs brute force."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("features", array_to_vector(F.col("v")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "v", "cell")
+    nrm = assigned.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    # query → its n_probe nearest cells (tiny: centroids are driver-side)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    q_rows = nrm.where(F.col("vec_id").isin(query_ids)).collect()
+    probe_pairs = []  # (query_id, cell)
+    import math as _m
+
+    for r in q_rows:
+        qv = r["v"]
+        dists = []
+        for ci, c in enumerate(centers):
+            d = sum((a - b) ** 2 for a, b in zip(qv, c))
+            dists.append((d, ci))
+        dists.sort()
+        for _, ci in dists[:n_probe]:
+            probe_pairs.append((int(r["vec_id"]), int(ci)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
+    q = spark.createDataFrame(
+        [(int(r["vec_id"]), list(map(float, r["v"])), float(r["n"])) for r in q_rows],
+        "query_id long, qv array<double>, qn double",
+    )
+
+    cand = (
+        nrm.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = cand.withColumn(
+        "cosine",
+        F.round(_dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < k)
+        .select(
+            F.col("query_id").cast("long"), "rank",
+            F.col("vec_id").cast("long"), "cosine",
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,

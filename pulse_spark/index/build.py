@@ -30,13 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulse_spark.config import IndexingSettings
-from pulse_spark.text.udfs import (
-    doc_len_bytes,
-    doc_no,
-    make_term_freq_udf,
-    make_tokenizer_udf,
-    trimmed,
-)
+from pulse_spark.text.udfs import doc_no, make_term_freq_udf, trimmed
 
 # ---------------------------------------------------------------------------
 # logical-plan builders (no IO) — shared by the persisted build and the
