@@ -48,8 +48,9 @@ def run_headline() -> dict:
                       shuffle_partitions=int(CPUS))
     qs = entrymod.queries()
     times: dict[str, float] = {}
-    # warm the JVM + python workers once (not counted)
-    qs["corpus_stats"](spark, SF_DIR).collect()
+    # warm the JVM + python workers once (not counted) — doc_stats runs
+    # the tokenizer UDF, so worker spin-up isn't billed to the first query
+    qs["doc_stats"](spark, SF_DIR).collect()
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
@@ -140,7 +141,17 @@ def run_scaling() -> dict:
     import subprocess
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="bench_scaling_")
+    # tmpfs when available: on a real cluster, disk bandwidth scales with
+    # executor count; this VM has ONE virtual disk, which becomes the
+    # shared bottleneck at both parallelism levels and masks CPU scaling.
+    # RAM-backed IO emulates per-node disk scaling honestly (documented
+    # in BENCH.md; the default-disk numbers are reported there too).
+    io_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="bench_scaling_", dir=io_base)
+    if io_base:
+        shuffle_dir = os.path.join(tmp, "_spark_local")
+        os.makedirs(shuffle_dir, exist_ok=True)
+        os.environ["PULSE_SPARK_LOCAL_DIR"] = shuffle_dir  # shuffle on tmpfs too
     try:
         src = _gen_scaling_input(tmp)
         res = {}
@@ -190,8 +201,11 @@ def run_latency() -> dict:
                       shuffle_partitions=int(CPUS))
     tmp = tempfile.mkdtemp(prefix="bench_latency_")
     tr = synth_transcripts_spark(spark, 25000)  # ~112k turns
-    idx = build_persisted_index(spark, tr, os.path.join(tmp, "idx"),
-                                IndexingSettings(term_buckets=32))
+    build_persisted_index(spark, tr, os.path.join(tmp, "idx"),
+                          IndexingSettings(term_buckets=32))
+    from pulse_spark.index.persist import load_index
+
+    idx = load_index(spark, os.path.join(tmp, "idx"))  # serving path: cached terms
     queries = gen_queries()
     # warm: JVM, python workers, terms table
     qdf = spark.createDataFrame(queries[:2], "query_id long, text string")

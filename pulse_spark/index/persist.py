@@ -50,21 +50,37 @@ def build_persisted_index(
     settings: IndexingSettings = IndexingSettings(),
     num_doc_partitions: int | None = None,
     build_segments: bool = False,
+    assign_ids: bool | None = None,
 ) -> Index:
-    """Stage-checkpointed build; resumable — completed stages are skipped."""
+    """Stage-checkpointed build; resumable — completed stages are skipped.
+
+    assign_ids: dense deterministic doc_ids (rank of (conv_id, turn_idx)).
+    Needed only by the compressed-segments layout (delta-varint wants
+    ints); the DataFrame query path keys on doc_no, like the reference's
+    doc numbers.  Defaults to build_segments — skipping it removes a
+    range-sample pass, a full-corpus shuffle, and a count job from the
+    build's critical path.
+    """
+    if assign_ids is None:
+        assign_ids = build_segments
+    if build_segments and not assign_ids:
+        raise ValueError("segments need dense doc_ids (assign_ids=True)")
     manifest = ckpt.load_manifest(out_dir)
     ckpt.check_settings(manifest, settings)
     ckpt.save_manifest(out_dir, manifest)
     npart = num_doc_partitions or spark.sparkContext.defaultParallelism
 
-    # stage: docs (with dense deterministic doc_id)
+    # stage: docs (dense deterministic doc_id only when needed)
     if ckpt.stage_done(manifest, "docs"):
         docs = ckpt.read_stage(spark, out_dir, "docs")
     else:
         d = B.docs_df(transcripts)
-        d, cached = B.assign_doc_ids(spark, d, npart)
+        cached = None
+        if assign_ids:
+            d, cached = B.assign_doc_ids(spark, d, npart)
         docs = ckpt.commit_stage(out_dir, manifest, "docs", d)
-        cached.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
     # stage: postings, hash-bucketed by term, term-sorted within files
     if ckpt.stage_done(manifest, "postings"):
@@ -72,14 +88,16 @@ def build_persisted_index(
     else:
         # doc_id rides through the tokenizer (extra_cols) — no join back
         # to docs, so the only shuffle here is the bucket layout one
-        p = B.postings_df(docs, settings, extra_cols=("doc_id",))
+        extra = ("doc_id",) if assign_ids else ()
+        p = B.postings_df(docs, settings, extra_cols=extra)
         p = B.with_term_bucket(p, settings.term_buckets)
         # one file-partition per bucket, rows clustered by (term, doc_id):
         # scans for a query term prune to 1 bucket dir + few row groups
         p = p.repartition(settings.term_buckets, "bucket")
         postings = ckpt.commit_stage(
             out_dir, manifest, "postings", p,
-            partition_by=["bucket"], sort_within=["term", "doc_id"],
+            partition_by=["bucket"],
+            sort_within=["term", "doc_id"] if assign_ids else ["term", "doc_no"],
         )
 
     # stage: terms (global lexicon merge: df sum, max_tf max)
@@ -110,9 +128,13 @@ def build_persisted_index(
     )
 
 
-def load_index(spark: SparkSession, out_dir: str) -> Index:
+def load_index(spark: SparkSession, out_dir: str, cache_terms: bool = True) -> Index:
     """Open an existing index; settings come from the manifest, mirroring
-    the reference's stats.bin coupling (engine.go:38-43)."""
+    the reference's stats.bin coupling (engine.go:38-43).
+
+    cache_terms: Spark-cache the terms table — the query path joins it on
+    every search (the reference mmaps its lexicon once at load,
+    engine.go:45-54; distributed cache is the Spark analog)."""
     manifest = ckpt.load_manifest(out_dir)
     if manifest["settings"] is None:
         raise FileNotFoundError(f"no index manifest at {out_dir}")
@@ -120,6 +142,8 @@ def load_index(spark: SparkSession, out_dir: str) -> Index:
     docs = ckpt.read_stage(spark, out_dir, "docs")
     postings = ckpt.read_stage(spark, out_dir, "postings")
     terms = ckpt.read_stage(spark, out_dir, "terms")
+    if cache_terms:
+        terms = terms.cache()
     row = ckpt.read_stage(spark, out_dir, "stats").collect()[0]
     return Index(
         out_dir=out_dir, settings=settings, docs=docs,

@@ -137,27 +137,57 @@ def search_topk(
     metric: str = "BM25",
     conjunctive: bool = False,
     prune_scan: bool = True,
+    max_driver_queries: int = 10_000,
 ) -> DataFrame:
     """Returns (query_id, rank, doc_no, score); rank 0-based like the
-    reference's TREC output (cmd/search.go:92-95)."""
+    reference's TREC output (cmd/search.go:92-95).
+
+    Latency plan: a query set is small by contract (the reference loads
+    its whole TSV in memory, query.go:19-51), so queries are tokenized
+    DRIVER-side with the exact same Python pipeline the index-build UDF
+    runs — this keeps the per-query Spark job count at 1 tiny job
+    (bucket hashes for partition pruning) + 1 scoring job, instead of a
+    pandas-UDF job + two collect jobs + the scoring job (~4x lower
+    point-query latency).  Query sets larger than max_driver_queries fall
+    back to the distributed tokenizer path.
+    """
     if metric.upper() not in ("BM25", "TFIDF"):
         raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
-    qt = tokenize_queries(queries, index)
+    spark = queries.sparkSession
+
+    head = queries.limit(max_driver_queries + 1).collect()
+    if len(head) > max_driver_queries:
+        qt = tokenize_queries(queries, index)  # distributed fallback
+        q_terms = None
+    else:
+        from pulse_spark.text.normalize import tokens as py_tokens
+
+        occ = []
+        for r in head:
+            for pos, t in enumerate(py_tokens(r["text"], index.settings.preprocess)):
+                occ.append((r["query_id"], pos, t))
+        if not occ:
+            return spark.createDataFrame(
+                [], "query_id long, rank int, doc_no string, score double"
+            )
+        qt = spark.createDataFrame(occ, "query_id long, pos int, term string")
+        q_terms = sorted({t for _, _, t in occ})
 
     postings = index.postings
     if prune_scan:
-        # driver-side literal pushdown — queries are small by definition
-        q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        if q_terms is None:
+            q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
         if not q_terms:
-            return queries.sparkSession.createDataFrame(
+            return spark.createDataFrame(
                 [], "query_id long, rank int, doc_no string, score double"
             )
         if "bucket" in postings.columns:
+            # driver-side bucket hashes (pure-Python XXH64, bit-identical
+            # to F.xxhash64 — tests/test_xxhash.py): zero Spark jobs
+            from pulse_spark.compression.xxhash64 import term_bucket
+
             buckets = sorted({
-                r["bucket"]
-                for r in with_term_bucket(
-                    qt.select("term").distinct(), index.settings.term_buckets
-                ).select("bucket").collect()
+                term_bucket(t, index.settings.term_buckets) for t in q_terms
             })
             postings = postings.where(F.col("bucket").isin(buckets))
         postings = postings.where(F.col("term").isin(q_terms))

@@ -26,7 +26,8 @@ def settings():
 def spark_index(spark, transcripts_path, settings, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("index") / "idx")
     transcripts = spark.read.parquet(transcripts_path)
-    return build_persisted_index(spark, transcripts, out, settings)
+    # assign_ids=True exercises the dense doc_id path even without segments
+    return build_persisted_index(spark, transcripts, out, settings, assign_ids=True)
 
 
 @pytest.fixture(scope="session")

@@ -4,7 +4,6 @@ queries() entry at sf0.01 and compare against its oracle_sql() via DuckDB
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
