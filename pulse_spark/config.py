@@ -20,7 +20,9 @@ class IndexingSettings:
     compression: bool = True          # delta+varint postings / unary tfs in segments
     term_buckets: int = 32            # hash-partition count of the postings layout
     block_size: int = 128             # max postings per compressed block
-    salt_partitions: int = 0          # >0 forces salted two-phase term agg
+    salt_partitions: int = 8          # tasks per term-bucket in the postings
+                                      # layout shuffle (hot-term skew defusal;
+                                      # 0/1 = unsalted)
 
     @property
     def preprocess(self) -> PreprocessSettings:

@@ -89,11 +89,22 @@ def build_persisted_index(
         # doc_id rides through the tokenizer (extra_cols) — no join back
         # to docs, so the only shuffle here is the bucket layout one
         extra = ("doc_id",) if assign_ids else ()
+        id_col = "doc_id" if assign_ids else "doc_no"
         p = B.postings_df(docs, settings, extra_cols=extra)
         p = B.with_term_bucket(p, settings.term_buckets)
-        # one file-partition per bucket, rows clustered by (term, doc_id):
-        # scans for a query term prune to 1 bucket dir + few row groups
-        p = p.repartition(settings.term_buckets, "bucket")
+        # SALTED repartition (north rule): a bare repartition("bucket")
+        # sends a hot term's millions of postings to ONE task — the stage
+        # tail is then single-threaded and grows with corpus size (Zipf
+        # text guarantees hot terms).  Salting by a hash of the doc id
+        # splits each bucket across PARTITION_SALT tasks; partitionBy at
+        # write still groups files under one bucket dir, so query-side
+        # partition pruning is unchanged.
+        n_salt = max(settings.salt_partitions, 1)
+        if n_salt > 1:
+            salt = F.pmod(F.xxhash64(id_col), F.lit(n_salt))
+            p = p.repartition(settings.term_buckets * n_salt, "bucket", salt)
+        else:
+            p = p.repartition(settings.term_buckets, "bucket")
         postings = ckpt.commit_stage(
             out_dir, manifest, "postings", p,
             partition_by=["bucket"],
