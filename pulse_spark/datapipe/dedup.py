@@ -55,9 +55,15 @@ def token_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Tokenization = whitespace split (dedup doesn't stem/stopword-strip —
     surface-form similarity is the point)."""
     toks = F.filter(F.split(normalized_text(), " "), lambda x: x != F.lit(""))
+    # Guarded: sequence(1, 0) in Spark is the DESCENDING [1, 0] (not empty),
+    # and slice(_toks, 0, n) then throws INVALID_PARAMETER_VALUE.START — so
+    # docs with < SHINGLE_N tokens must short-circuit to an empty array,
+    # matching the DuckDB oracle's empty range(1, 1) semantics.
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {SHINGLE_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_N})))"
+        f"CASE WHEN size(_toks) >= {SHINGLE_N} THEN "
+        f"transform(sequence(1, size(_toks) - {SHINGLE_N - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_N}))) "
+        f"ELSE cast(array() as array<string>) END"
     )
     return (
         docs.withColumn("_toks", toks)

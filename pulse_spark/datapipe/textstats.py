@@ -97,9 +97,14 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     min-shingle fingerprint (min md5 over 5-char shingles — the k=1
     MinHash, a rolling-fingerprint analog)."""
     norm = F.regexp_replace(F.lower(trimmed(F.col("text"))), r"\s+", " ")
+    # Guarded: sequence(1, 0) in Spark is [1, 0] (descending, not empty), so
+    # docs shorter than 5 chars would fingerprint md5(substring(_norm, 0, 5))
+    # — a silent divergence from the DuckDB oracle's empty range(1, 1).
+    # Empty array -> array_min NULL, matching list_aggregate(min) of [].
     shingles = F.expr(
-        "transform(sequence(1, greatest(length(_norm) - 4, 0)), "
-        "i -> md5(substring(_norm, i, 5)))"
+        "CASE WHEN length(_norm) >= 5 THEN "
+        "transform(sequence(1, length(_norm) - 4), i -> md5(substring(_norm, i, 5))) "
+        "ELSE cast(array() as array<string>) END"
     )
     return (
         docs.withColumn("_norm", norm)

@@ -164,6 +164,8 @@ def search_topk(
 
         occ = []
         for r in head:
+            if r["text"] is None:  # mirror the UDF's None -> [] mapping
+                continue
             for pos, t in enumerate(py_tokens(r["text"], index.settings.preprocess)):
                 occ.append((r["query_id"], pos, t))
         if not occ:

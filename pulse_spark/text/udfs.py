@@ -23,6 +23,15 @@ from pulse_spark.text.normalize import PreprocessSettings, tokens
 
 # ASCII whitespace class shared with the DuckDB oracle SQL (RE2) and the
 # Python oracle (str.strip(ASCII_WS)); Java \s == [ \t\n\x0B\f\r].
+#
+# DOCUMENTED DEVIATION: the reference's strings.TrimSpace (ms-marco.go:70)
+# trims the full Unicode whitespace set (unicode.IsSpace), so doc_len —
+# and hence ADL and BM25 scores — can differ from the reference for
+# documents padded with non-ASCII whitespace (e.g. U+00A0). This engine is
+# deliberately ASCII-only and SELF-CONSISTENT across all three
+# implementations (Spark regexp, DuckDB oracle regexp, Python str.strip):
+# a Unicode class here would force every SQL oracle onto engine-specific
+# Unicode regex behavior, a worse trade than matching Go on exotic inputs.
 _WS = r"[ \t\n\r\f\x0B]"
 
 

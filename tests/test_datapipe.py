@@ -122,6 +122,54 @@ def test_multimodal_plumbing(spark):
         decode_real(b"\x89PNG")
 
 
+def test_short_docs_do_not_crash_shingles(spark):
+    """Regression: Spark's sequence(1, 0) is [1, 0] (descending, not
+    empty), so docs with < SHINGLE_N tokens used to abort the whole job
+    with INVALID_PARAMETER_VALUE.START inside slice(); short docs must
+    instead contribute zero shingles (DuckDB empty-range semantics)."""
+    from pulse_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        token_shingles,
+    )
+
+    rows = [
+        (1, ""),                                   # empty
+        (2, "   "),                                # whitespace only
+        (3, "one"),                                # 1 token
+        (4, "two tokens"),                         # 2 tokens < SHINGLE_N=3
+        (5, "exactly three tokens"),               # boundary: 1 shingle
+        (6, "spark join merge filter window now"),
+        (7, "spark join merge filter window now"),  # dup of 6
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"] for r in token_shingles(df).collect()}
+    assert sh == {5, 6, 7}  # short docs contribute no shingles
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(df, min_jaccard=0.1).collect()}
+    assert pairs == {(6, 7)}
+    exact = {(r["id_a"], r["id_b"])
+             for r in ngram_jaccard_pairs(df, min_jaccard=0.1).collect()}
+    assert exact == {(6, 7)}
+
+
+def test_fingerprints_short_docs_null_min_shingle(spark):
+    """Docs with normalized length < 5 have no 5-char shingle: their
+    min_shingle_md5 must be NULL (array_min of []), matching DuckDB's
+    list_aggregate(min) over an empty range — not md5('') garbage."""
+    from pulse_spark.datapipe.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, ""), (3, "abcd"), (4, "abcde"), (5, " ab  ")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["min_shingle_md5"] for r in fingerprints(df).collect()}
+    assert fp[1] is None and fp[2] is None and fp[3] is None and fp[5] is None
+    import hashlib
+
+    assert fp[4] == hashlib.md5(b"abcde").hexdigest()
+
+
 def test_fingerprints_stability(spark):
     from pulse_spark.datapipe.textstats import fingerprints
 
