@@ -78,21 +78,43 @@ def docs_with_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache: the tokenizer pandas UDF is the most expensive
+# stage of every fulltext harness query, and the three top-k variants (+
+# term_tf/term_df) all consume the same postings — without this each
+# query re-tokenized the corpus 2-3x (terms_df pass + scoring pass).
+# Keyed on applicationId so a new SparkSession never sees a persisted
+# DataFrame from a dead one.
+_SHARED: dict = {}
+
+
 def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
-    p = postings_df(docs_with_len(spark, sf_dir), settings, id_col="doc_id")
-    return p.withColumn("tf", F.col("tf").cast("long"))
+    key = (spark.sparkContext.applicationId, "postings", sf_dir, settings.stemming)
+    if key not in _SHARED:
+        p = postings_df(docs_with_len(spark, sf_dir), settings, id_col="doc_id")
+        _SHARED[key] = p.withColumn("tf", F.col("tf").cast("long")).persist()
+    return _SHARED[key]
+
+
+def _terms(spark, sf_dir, settings=SETTINGS) -> DataFrame:
+    key = (spark.sparkContext.applicationId, "terms", sf_dir, settings.stemming)
+    if key not in _SHARED:
+        _SHARED[key] = terms_df(_postings(spark, sf_dir, settings)).persist()
+    return _SHARED[key]
 
 
 def _stats(spark, sf_dir) -> tuple[int, float]:
-    r = docs_with_len(spark, sf_dir).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
-    ).collect()[0]
-    return int(r["n"]), float(r["adl"])
+    key = (spark.sparkContext.applicationId, "stats", sf_dir)
+    if key not in _SHARED:
+        r = docs_with_len(spark, sf_dir).agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
+        ).collect()[0]
+        _SHARED[key] = (int(r["n"]), float(r["adl"]))
+    return _SHARED[key]
 
 
 def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS) -> DataFrame:
     p = _postings(spark, sf_dir, settings)
-    t = terms_df(p)
+    t = _terms(spark, sf_dir, settings)
     n, adl = _stats(spark, sf_dir)
     occ = spark.createDataFrame(
         _q_occurrences(settings.preprocess), "query_id long, pos int, term string"
@@ -246,7 +268,7 @@ def q_term_tf(spark, sf_dir):
 
 def q_term_df(spark, sf_dir):
     """B6: merged global lexicon (df sum, max_tf max; spimi.go:196-197)."""
-    return terms_df(_postings(spark, sf_dir)).select(
+    return _terms(spark, sf_dir).select(
         "term", F.col("df").cast("long"), F.col("max_tf").cast("long")
     )
 

@@ -2,13 +2,17 @@
 
 Layout (out_dir):
   manifest.json                 settings + stage lineage (checkpoint.py)
-  docs/                         (doc_id, doc_no, conv_id, turn_idx, doc_len)
-  postings/bucket=B/            (term, doc_id, doc_no, tf, doc_len)
-                                sorted by (term, doc_id) within files →
-                                parquet row-group min/max prune on term
+  docs/                         (doc_no, conv_id, turn_idx, text, doc_len
+                                 [, doc_id when assign_ids])
+  postings/bucket=B/            (term, <id>, tf, doc_len) where <id> is
+                                the 8-byte doc_id when assign_ids=True
+                                (slim layout — no doc_no string on the
+                                wire) else the doc_no string; sorted by
+                                (term, <id>) within files → parquet
+                                row-group min/max prune on term
   terms/                        (term, df, max_tf)
   stats/                        single row (n_docs, adl)
-  segments/bucket=B/            (M3) block-compressed postings, see
+  segments/doc_range=R/         (M3) block-compressed postings, see
                                 segments.py
 
 Equivalent of the reference's data/dump/<i>/ files (SURVEY §1.2) with the
@@ -86,11 +90,13 @@ def build_persisted_index(
     if ckpt.stage_done(manifest, "postings"):
         postings = ckpt.read_stage(spark, out_dir, "postings")
     else:
-        # doc_id rides through the tokenizer (extra_cols) — no join back
-        # to docs, so the only shuffle here is the bucket layout one
-        extra = ("doc_id",) if assign_ids else ()
+        # doc_id rides through the tokenizer — no join back to docs, so
+        # the only shuffle here is the bucket layout one.  With dense ids
+        # the posting row carries ONLY the 8-byte id (doc_no is recovered
+        # at output time from the docs table): at 10^12 turns the doc_no
+        # string would dominate shuffle/storage bytes.
         id_col = "doc_id" if assign_ids else "doc_no"
-        p = B.postings_df(docs, settings, extra_cols=extra)
+        p = B.postings_df(docs, settings, id_col=id_col)
         p = B.with_term_bucket(p, settings.term_buckets)
         # SALTED repartition (north rule): a bare repartition("bucket")
         # sends a hot term's millions of postings to ONE task — the stage

@@ -113,9 +113,25 @@ def topk_from_tables(
     order_key = (
         F.round("score", tie_round) if tie_round is not None else F.col("score")
     )
+    # Two-phase top-k (search.go:49-74's per-partition bounded heap + global
+    # merge, relationally): phase 1 keeps ≤ k rows per (query, source
+    # partition slice), so the global window never sees a hot query's full
+    # candidate set in ONE task — at 100 TB a single window partition over
+    # millions of matching docs is the scale-killer.  Each candidate doc
+    # appears exactly once after the groupBy, so the global top-k is a
+    # subset of the union of slice top-ks (correctness unchanged).
+    sliced = per_doc.withColumn("_slice", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "_slice").orderBy(
+        F.desc(order_key), F.asc(id_col)
+    )
+    pre = (
+        sliced.withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
+        .drop("_lr", "_slice")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc(id_col))
     return (
-        per_doc.withColumn("rank", F.row_number().over(w) - 1)
+        pre.withColumn("rank", F.row_number().over(w) - 1)
         .where(F.col("rank") < k)
         .select("query_id", "rank", id_col, "score")
     )
@@ -194,7 +210,19 @@ def search_topk(
             postings = postings.where(F.col("bucket").isin(buckets))
         postings = postings.where(F.col("term").isin(q_terms))
 
-    return topk_from_tables(
+    # Slim-postings layout (assign_ids=True) carries only the 8-byte
+    # doc_id on posting rows — doc_no is recovered by a broadcast join of
+    # the k·q winners against the docs table (the reference likewise maps
+    # internal doc ids to doc numbers only at output, document.go:47-61).
+    id_col = "doc_no" if "doc_no" in postings.columns else "doc_id"
+    res = topk_from_tables(
         postings, index.terms, qt, index.n_docs, index.adl,
-        k=k, metric=metric, conjunctive=conjunctive, id_col="doc_no",
+        k=k, metric=metric, conjunctive=conjunctive, id_col=id_col,
     )
+    if id_col == "doc_id":
+        res = (
+            index.docs.select("doc_id", "doc_no")
+            .join(F.broadcast(res), "doc_id")
+            .select("query_id", "rank", "doc_no", "score")
+        )
+    return res
