@@ -52,12 +52,84 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _print_trec(rows) -> None:
+    # TREC-style result lines (cmd/search.go:92-96)
+    for r in rows:
+        print(f"{r['query_id']}\tQ0\t{r['doc_no']}\t{r['rank']}\t{r['score']:.6f}\tpulse_spark")
+
+
+def _print_timing(qid, seconds: float) -> None:
+    # reference elapsed-time line: "#\t<qid>\t<elapsed>\t<microseconds>"
+    # (cmd/search.go:98-101)
+    print(f"#\t{qid}\t{seconds * 1000:.3f}ms\t{int(seconds * 1e6)}")
+
+
+def _read_queries_arg(args) -> list[tuple[int, str]]:
+    if args.query:
+        return [(0, args.query)]
+    return [
+        (int(a), b.rstrip("\n"))
+        for a, b in (ln.split("\t", 1) for ln in open(args.queries) if ln.strip())
+    ]
+
+
 def cmd_search(args) -> int:
+    import time
+
+    if args.sidecar:
+        # no-Spark point-query serving (serve.py) over the committed
+        # segment artifacts — reference-class warm latency
+        from pulse_spark.serve import PointServer
+
+        srv = PointServer(args.index)
+
+        def run_one(qid: int, text: str) -> None:
+            t0 = time.perf_counter()
+            res = srv.search(text, k=args.k, metric=args.metric,
+                             conjunctive=args.conjunctive, query_id=qid)
+            el = time.perf_counter() - t0
+            _print_trec([
+                {"query_id": qid, "doc_no": r.doc_no, "rank": r.rank,
+                 "score": r.score} for r in res
+            ])
+            _print_timing(qid, el)
+
+        if args.interactive:
+            print("pulse_spark> enter queries (ctrl-d to exit)", file=sys.stderr)
+            for qid, line in enumerate(ln.strip() for ln in sys.stdin):
+                if line:
+                    run_one(qid, line)
+            return 0
+        for qid, text in _read_queries_arg(args):
+            run_one(qid, text)
+        return 0
+
     spark = _spark(args)
     from pulse_spark.index.persist import load_index
     from pulse_spark.query.search import search_topk
 
     idx = load_index(spark, args.index)
+
+    def run_batch(qdf):
+        if args.segments:
+            # compressed block-max path (segments.py); doc_no recovered
+            # from the docs table for TREC output
+            from pyspark.sql import functions as F
+
+            from pulse_spark.index.segments import search_segments
+
+            res = search_segments(spark, idx, qdf, k=args.k,
+                                  metric=args.metric,
+                                  conjunctive=args.conjunctive)
+            return (
+                idx.docs.select("doc_id", "doc_no")
+                .join(F.broadcast(res), "doc_id")
+                .select("query_id", "rank", "doc_no", "score")
+                .collect()
+            )
+        return search_topk(idx, qdf, k=args.k, metric=args.metric,
+                           conjunctive=args.conjunctive).collect()
+
     if args.interactive:
         # reference: query.InteractiveQueries stdin REPL (query.go:56-80)
         print("pulse_spark> enter queries (ctrl-d to exit)", file=sys.stderr)
@@ -67,28 +139,24 @@ def cmd_search(args) -> int:
             if not line:
                 continue
             qdf = spark.createDataFrame([(qid, line)], "query_id long, text string")
-            res = search_topk(idx, qdf, k=args.k, metric=args.metric,
-                              conjunctive=args.conjunctive).collect()
-            for r in sorted(res, key=lambda r: r["rank"]):
-                print(f"{qid}\tQ0\t{r['doc_no']}\t{r['rank']}\t{r['score']:.6f}\tpulse_spark")
+            t0 = time.perf_counter()
+            res = run_batch(qdf)
+            el = time.perf_counter() - t0
+            _print_trec(sorted(res, key=lambda r: r["rank"]))
+            _print_timing(qid, el)
             qid += 1
         return 0
-    if args.query:
-        rows = [(0, args.query)]
-    else:
-        rows = [
-            (int(a), b)
-            for a, b in (
-                ln.split("\t", 1) for ln in open(args.queries) if ln.strip()
-            )
-        ]
+
+    rows = _read_queries_arg(args)
     qdf = spark.createDataFrame(rows, "query_id long, text string")
-    res = search_topk(
-        idx, qdf, k=args.k, metric=args.metric, conjunctive=args.conjunctive
-    ).collect()
-    # TREC-style output (cmd/search.go:92-101)
-    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
-        print(f"{r['query_id']}\tQ0\t{r['doc_no']}\t{r['rank']}\t{r['score']:.6f}\tpulse_spark")
+    t0 = time.perf_counter()
+    res = run_batch(qdf)
+    el = time.perf_counter() - t0
+    _print_trec(sorted(res, key=lambda r: (r["query_id"], r["rank"])))
+    # batch mode runs the whole query set as ONE Spark job — the timing
+    # line reports the batch elapsed once (honest; per-query wall times
+    # come from --sidecar / --interactive)
+    _print_timing("batch", el)
     return 0
 
 
@@ -118,6 +186,11 @@ def main(argv=None) -> int:
     s.add_argument("--conjunctive", action="store_true")
     s.add_argument("--interactive", action="store_true",
                    help="stdin REPL (reference query.go:56-80)")
+    s.add_argument("--segments", action="store_true",
+                   help="score via the compressed block-max segments path")
+    s.add_argument("--sidecar", action="store_true",
+                   help="serve without Spark (pyarrow + numpy over the "
+                        "committed segments; reference-class latency)")
     s.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -23,6 +23,14 @@ class IndexingSettings:
     salt_partitions: int = 8          # tasks per term-bucket in the postings
                                       # layout shuffle (hot-term skew defusal;
                                       # 0/1 = unsalted)
+    store_text: bool = True           # keep the trimmed text in docs/ (the
+                                      # per-turn text-equality surface).  At
+                                      # 10^12-turn scale set False: the index
+                                      # stores doc METADATA only (the
+                                      # reference's doc.bin stores (docno,
+                                      # size), not text — docs.pdf §2.3) and
+                                      # the source table remains the text
+                                      # store.
 
     @property
     def preprocess(self) -> PreprocessSettings:

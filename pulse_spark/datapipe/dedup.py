@@ -102,14 +102,33 @@ def lsh_bucket_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.2
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.2,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard): near-duplicate pairs — LSH candidates
-    verified with exact shingle-set Jaccard.  Returns id_a < id_b."""
+    verified with exact shingle-set Jaccard.  Returns id_a < id_b.
+
+    max_bucket_size: HOT-BUCKET CAP.  A degenerate band_key (boilerplate
+    text that hashes millions of near-identical docs into one bucket)
+    turns the band self-join quadratic — one such bucket at 100 TB is a
+    job-killer.  Buckets larger than the cap are dropped from candidate
+    generation (their members are overwhelmingly exact/near-exact dups,
+    which exact_dup_groups already catches with a linear groupBy); the
+    cap is a count-aggregate + semi-join, no extra pass over the text."""
     sh = token_shingles(docs, id_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     bk = lsh_bucket_keys(minhash_signatures(sh, id_col), id_col)
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("band", "band_key")
+        )
+        bk = bk.join(ok, ["band", "band_key"])  # drop pathological buckets
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, ["band", "band_key"])
@@ -186,8 +205,10 @@ def ngram_jaccard_pairs(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens weighted by tf.
 
-    Per Arrow batch: md5(token) -> 64 bits; weighted bit-vote; sign.
-    Deterministic, pure-numpy per batch (token hashing memoized)."""
+    Per Arrow batch: md5(token) -> 64 ±1 bit-votes (memoized on distinct
+    tokens — Zipf text repeats tokens heavily); per-doc accumulation and
+    the sign→uint64 pack are numpy (np.packbits); only the per-doc token
+    loop is Python."""
     import hashlib
 
     memo: dict[str, np.ndarray] = {}
@@ -211,15 +232,71 @@ def simhash64(texts: pd.Series) -> pd.Series:
         acc = np.zeros(64, dtype=np.int64)
         for t in toks:
             acc += tok_bits(t)
-        bits = (acc > 0).astype(np.uint64)
-        val = np.uint64(0)
-        for b in bits:
-            val = (val << np.uint64(1)) | b
-        out[i] = np.int64(val.astype(np.int64))
+        packed = np.packbits((acc > 0)).tobytes()  # MSB-first, 8 bytes
+        out[i] = np.frombuffer(packed, dtype=">i8")[0]
     return pd.Series(out)
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(
         F.col(id_col).cast("long").alias(id_col), simhash64(F.col("text")).alias("simhash")
+    )
+
+
+SIMHASH_BANDS = 4  # 16-bit bands over the 64-bit signature
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 100_000,
+) -> DataFrame:
+    """(id_a, id_b, hamming): SimHash near-duplicates via Hamming-banded
+    candidate generation — the scale path for simhash dedup.
+
+    Pigeonhole: a pair within Hamming distance d ≤ SIMHASH_BANDS - 1
+    differing bits must agree EXACTLY on at least one of the 4 16-bit
+    bands, so an equi-join on (band, band_bits) finds every such pair
+    without O(n²) enumeration; candidates are then verified with exact
+    bit_count(a XOR b) ≤ max_hamming (all JVM-side).  Same hot-bucket cap
+    as minhash_lsh_pairs (an all-zero band over boilerplate docs is the
+    degenerate case)."""
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"banded candidates are exact only for max_hamming < {SIMHASH_BANDS}"
+        )
+    st = simhash_table(docs, id_col).persist()
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).alias("band_bits"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ])
+    bk = st.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash",
+        F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("band", "band_bits")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("band", "band_bits")
+        )
+        bk = bk.join(ok, ["band", "band_bits"])
+    a = bk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+                  "band", "band_bits")
+    b = bk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+                  "band", "band_bits")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("sh_a").bitwiseXOR(F.col("sh_b")).alias("_x"))
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_x")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -294,6 +294,62 @@ def q_bm25_stemmed_topk(spark, sf_dir):
     return _topk(spark, sf_dir, "BM25", conjunctive=False, settings=SETTINGS_STEMMED)
 
 
+def q_bm25_segments_topk(spark, sf_dir):
+    """B7 + C1-C4 + Q4 + Q9 end-to-end under the SQL oracle: disjunctive
+    BM25 top-k scored THROUGH the committed compressed block segments
+    (delta+varint doc ids, unary tfs) with the MaxScore numpy scorer —
+    same oracle SQL as bm25_topk, so the whole persist->encode->decode->
+    prune->score path must be value-identical to the relational plan.
+
+    The index is built once per (session, sf_dir) into a temp dir; the
+    documents table is wrapped as single-turn transcripts (conv_id =
+    doc_id), and results map back to the external doc_id.  Ranking is
+    re-derived on (round(score,6), doc_id) for cross-engine determinism,
+    like _topk's tie_round."""
+    import tempfile
+
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.index.segments import search_segments
+
+    key = (spark.sparkContext.applicationId, "segidx", sf_dir)
+    if key not in _SHARED:
+        out = tempfile.mkdtemp(prefix="pulse_seg_idx_")
+        transcripts = load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            "text",
+        )
+        idx = build_persisted_index(
+            spark, transcripts, out,
+            IndexingSettings(stopwords_removal=True, stemming=False,
+                             compression=True, term_buckets=8),
+            build_segments=True,
+        )
+        _SHARED[key] = idx
+    idx = _SHARED[key]
+    queries = spark.createDataFrame(HARNESS_QUERIES, "query_id long, text string")
+    # over-fetch so boundary ties at round(·,6) precision can be re-ranked
+    # on the EXTERNAL doc_id (internal dense ids sort conv_id as strings)
+    res = search_segments(spark, idx, queries, k=K + 20, metric="BM25")
+    ext = idx.docs.select("doc_id", F.col("conv_id").cast("long").alias("ext_id"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("ext_id")
+    )
+    return (
+        res.join(F.broadcast(ext), "doc_id")
+        .withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < K)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("ext_id").cast("long").alias("doc_id"),
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -304,6 +360,7 @@ FULLTEXT_QUERIES = {
     "bm25_conjunctive_topk": q_bm25_conjunctive_topk,
     "tfidf_topk": q_tfidf_topk,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
+    "bm25_segments_topk": q_bm25_segments_topk,
 }
 
 
@@ -333,5 +390,8 @@ SELECT term, df, max_tf FROM df
     "bm25_topk": _topk_sql("BM25", conjunctive=False),
     "bm25_conjunctive_topk": _topk_sql("BM25", conjunctive=True),
     "tfidf_topk": _topk_sql("TFIDF", conjunctive=False),
+    # the segments path must agree with the SAME relational oracle —
+    # codecs + block encode/decode + MaxScore pruning are all under test
+    "bm25_segments_topk": _topk_sql("BM25", conjunctive=False),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

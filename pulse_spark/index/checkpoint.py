@@ -58,19 +58,18 @@ def stage_done(manifest: dict, stage: str) -> bool:
     return stage in manifest["stages"]
 
 
-def commit_stage(
-    out_dir: str,
-    manifest: dict,
-    stage: str,
+def write_stage(
     df: DataFrame,
+    out_dir: str,
+    stage: str,
     partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
-) -> DataFrame:
-    """Write `df` as parquet under out_dir/<stage>, record lineage
-    (per-file-partition row counts) in the manifest, return the re-read
-    DataFrame (so downstream stages consume the committed data, making
-    boundaries deterministic for resume)."""
-    spark = df.sparkSession
+) -> float:
+    """Parquet write only — the thread-safe half of commit_stage (no
+    manifest mutation), so independent stages can write CONCURRENTLY from
+    separate driver threads (one SparkContext schedules both job DAGs and
+    back-fills each job's straggler tail with the other's tasks).
+    Returns wall seconds."""
     path = os.path.join(out_dir, stage)
     t0 = time.time()
     w = df
@@ -80,19 +79,38 @@ def commit_stage(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    committed = spark.read.parquet(path)
-    # lineage: rows per committed file, read from parquet FOOTERS only —
-    # no Spark job, no data scan (metadata is exact)
-    manifest["stages"][stage] = {
-        "rows": 0,
-        "partitions": {},
-        "wall_sec": round(time.time() - t0, 3),
-    }
+    return round(time.time() - t0, 3)
+
+
+def record_stage(
+    spark: SparkSession, out_dir: str, manifest: dict, stage: str, wall_sec: float
+) -> DataFrame:
+    """Record lineage for an already-written stage and return the re-read
+    DataFrame (downstream stages consume the committed data, making
+    boundaries deterministic for resume).  Lineage = rows per committed
+    file, read from parquet FOOTERS only — no Spark job, no data scan."""
+    path = os.path.join(out_dir, stage)
     part_counts = _footer_row_counts(path)
-    manifest["stages"][stage]["partitions"] = part_counts
-    manifest["stages"][stage]["rows"] = int(sum(part_counts.values()))
+    manifest["stages"][stage] = {
+        "rows": int(sum(part_counts.values())),
+        "partitions": part_counts,
+        "wall_sec": wall_sec,
+    }
     save_manifest(out_dir, manifest)
-    return committed
+    return spark.read.parquet(path)
+
+
+def commit_stage(
+    out_dir: str,
+    manifest: dict,
+    stage: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+) -> DataFrame:
+    """write_stage + record_stage (the sequential convenience form)."""
+    wall = write_stage(df, out_dir, stage, partition_by, sort_within)
+    return record_stage(df.sparkSession, out_dir, manifest, stage, wall)
 
 
 def _footer_row_counts(path: str) -> dict[str, int]:

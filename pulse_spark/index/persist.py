@@ -74,29 +74,66 @@ def build_persisted_index(
     ckpt.save_manifest(out_dir, manifest)
     npart = num_doc_partitions or spark.sparkContext.defaultParallelism
 
-    # stage: docs (dense deterministic doc_id only when needed)
-    if ckpt.stage_done(manifest, "docs"):
-        docs = ckpt.read_stage(spark, out_dir, "docs")
-    else:
-        d = B.docs_df(transcripts)
-        cached = None
+    do_docs = not ckpt.stage_done(manifest, "docs")
+    do_postings = not ckpt.stage_done(manifest, "postings")
+    do_stats = not ckpt.stage_done(manifest, "stats")
+
+    # The in-memory docs plan is the single source of truth for BOTH the
+    # docs and postings stages: it is a pure deterministic function of the
+    # input (assign_doc_ids pins ids via a materialized range-partition),
+    # so a resumed build recomputes the identical rows without reading
+    # the committed text back.
+    d_full = B.docs_df(transcripts)
+    cached = None
+    if assign_ids and (do_docs or do_postings):
+        d_full, cached = B.assign_doc_ids(spark, d_full, npart)
+
+    # stage: docs.  With store_text=False this is METADATA ONLY — the
+    # reference's doc.bin stores (docno, size), not text; at 10^12 turns
+    # copying the text corpus into the index doubles the largest IO in
+    # the build for nothing (the source table remains the text store).
+    obs = None
+    if do_docs:
+        meta_cols = ["doc_no", "conv_id", "turn_idx", "doc_len"]
+        if settings.store_text:
+            meta_cols.insert(3, "text")
         if assign_ids:
-            d, cached = B.assign_doc_ids(spark, d, npart)
-        docs = ckpt.commit_stage(out_dir, manifest, "docs", d)
-        if cached is not None:
-            cached.unpersist()
+            meta_cols.append("doc_id")
+        d_write = d_full.select(*meta_cols)
+        if do_stats:
+            # stats (N, ADL) ride the docs WRITE as accumulator metrics —
+            # zero extra jobs, zero extra scans (spimi's running mean,
+            # stats.go:19-23, as an Observation)
+            from pyspark.sql import Observation
+
+            obs = Observation("corpus_stats")
+            d_write = d_write.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doc_len").alias("adl"),
+            )
+        docs = ckpt.commit_stage(out_dir, manifest, "docs", d_write)
+    else:
+        docs = ckpt.read_stage(spark, out_dir, "docs")
+
+    stats_vals: tuple[int, float] | None = None
+    if obs is not None:
+        # read the Observation NOW, while the listener bus holds only the
+        # docs stage's events — deferring this past the postings stage
+        # makes obs.get block behind thousands of queued task events
+        # (measured: 14-25 s stall for a 1-row result)
+        m = obs.get
+        stats_vals = (int(m["n_docs"]), float(m["adl"]))
 
     # stage: postings, hash-bucketed by term, term-sorted within files
-    if ckpt.stage_done(manifest, "postings"):
-        postings = ckpt.read_stage(spark, out_dir, "postings")
-    else:
+    if do_postings:
         # doc_id rides through the tokenizer — no join back to docs, so
         # the only shuffle here is the bucket layout one.  With dense ids
         # the posting row carries ONLY the 8-byte id (doc_no is recovered
         # at output time from the docs table): at 10^12 turns the doc_no
         # string would dominate shuffle/storage bytes.
         id_col = "doc_id" if assign_ids else "doc_no"
-        p = B.postings_df(docs, settings, id_col=id_col)
+        p = B.postings_df(d_full, settings, id_col=id_col)
         p = B.with_term_bucket(p, settings.term_buckets)
         # SALTED repartition (north rule): a bare repartition("bucket")
         # sends a hot term's millions of postings to ONE task — the stage
@@ -116,6 +153,10 @@ def build_persisted_index(
             partition_by=["bucket"],
             sort_within=["term", "doc_id"] if assign_ids else ["term", "doc_no"],
         )
+    else:
+        postings = ckpt.read_stage(spark, out_dir, "postings")
+    if cached is not None:
+        cached.unpersist()
 
     # stage: terms (global lexicon merge: df sum, max_tf max)
     if ckpt.stage_done(manifest, "terms"):
@@ -123,25 +164,47 @@ def build_persisted_index(
     else:
         terms = ckpt.commit_stage(out_dir, manifest, "terms", B.terms_df(postings))
 
-    # stage: stats
-    if ckpt.stage_done(manifest, "stats"):
-        stats = ckpt.read_stage(spark, out_dir, "stats")
+    # stage: stats (from the docs-write Observation when available —
+    # resume runs fall back to a column-pruned scan of committed docs).
+    # The 1-row table is written DRIVER-side via pyarrow: a Spark job for
+    # one row is pure scheduling overhead.
+    if not do_stats:
+        row = ckpt.read_stage(spark, out_dir, "stats").collect()[0]
+        n_docs, adl = int(row["n_docs"]), float(row["adl"])
     else:
-        stats = ckpt.commit_stage(out_dir, manifest, "stats", B.stats_df(docs))
+        if stats_vals is None:
+            row = B.stats_df(docs).collect()[0]
+            stats_vals = (int(row["n_docs"]), float(row["adl"]))
+        n_docs, adl = stats_vals
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = _time.time()
+        stats_dir = os.path.join(out_dir, "stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                      "adl": pa.array([adl], pa.float64())}),
+            os.path.join(stats_dir, "part-00000.parquet"),
+        )
+        ckpt.record_stage(
+            spark, out_dir, manifest, "stats", round(_time.time() - t0, 3)
+        )
 
     if build_segments and not ckpt.stage_done(manifest, "segments"):
         from pulse_spark.index import segments as seg
         seg.build_segments(spark, out_dir, manifest, postings, settings)
 
-    row = stats.collect()[0]
     return Index(
         out_dir=out_dir,
         settings=settings,
         docs=docs,
         postings=postings,
         terms=terms,
-        n_docs=int(row["n_docs"]),
-        adl=float(row["adl"]),
+        n_docs=n_docs,
+        adl=adl,
     )
 
 

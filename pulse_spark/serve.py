@@ -1,0 +1,186 @@
+"""No-Spark point-query serving sidecar.
+
+The reference answers a warm disjunctive BM25 k=1000 query in ~49 ms from
+an mmap'd single-process index (docs/docs.pdf Table 4.3; cmd/search.go).
+Spark's per-query floor is Catalyst planning + job scheduling + broadcast
+setup (~1-2 s), which no plan shape can remove — so point queries are
+served OUTSIDE Spark, from the very same committed segment artifacts the
+Spark path writes (index/segments.py):
+
+  terms/    -> in-memory lexicon dict        (reference: vocabulary mmap,
+                                              engine.go:45-54)
+  stats/    -> N, ADL                        (reference: stats.bin)
+  docs/     -> doc_id -> doc_no array        (reference: doc.bin)
+  segments/ -> pyarrow dataset; per query, a term-filtered to_table()
+               reads ONLY the query terms' blocks (files are term-sorted,
+               so parquet row-group min/max stats prune like the
+               reference's lexicon seek, search.go:89-117)
+
+Scoring is the same numpy kernel family as segments.py's distributed
+scorer: decode delta+varint/unary blocks, vectorized BM25/TFIDF partials,
+dense accumulator, argpartition top-k.  Results are rank-identical to
+query/search.py::search_topk (pinned by tests/test_serve.py).
+
+Scale honesty: this sidecar is a SINGLE-NODE serving tier — it assumes
+the lexicon + one dense float accumulator fit in RAM (fine into the
+hundreds of millions of docs; the reference has the same envelope).  The
+100 TB batch path stays in Spark; a fleet of these sidecars each serving
+one doc_range shard (merge = concat + global top-k, exactly
+segments.py's shuffle profile) is the horizontal story.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from pulse_spark.compression.codecs import delta_varint_decode, unary_decode
+from pulse_spark.config import BM25_B, BM25_K1, IndexingSettings
+from pulse_spark.text.normalize import tokens as py_tokens
+
+
+@dataclass
+class ServeResult:
+    query_id: int
+    rank: int
+    doc_id: int
+    doc_no: str | None
+    score: float
+
+
+class PointServer:
+    """Serve BM25/TFIDF top-k point queries from a committed segments
+    index without a SparkSession (requires build_segments=True at build
+    time)."""
+
+    def __init__(self, out_dir: str, load_doc_nos: bool = True):
+        import json
+
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        if "segments" not in manifest.get("stages", {}):
+            raise FileNotFoundError(
+                f"no committed segments stage at {out_dir} "
+                "(build with build_segments=True)"
+            )
+        self.out_dir = out_dir
+        self.settings = IndexingSettings.from_dict(manifest["settings"])
+
+        stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
+        self.n_docs = int(stats["n_docs"])
+        self.adl = float(stats["adl"])
+
+        t = pq.read_table(os.path.join(out_dir, "terms"), columns=["term", "df"])
+        self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+        self.doc_nos: np.ndarray | None = None
+        if load_doc_nos:
+            d = pq.read_table(
+                os.path.join(out_dir, "docs"), columns=["doc_id", "doc_no"]
+            )
+            ids = np.asarray(d["doc_id"].to_numpy())
+            nos = np.asarray(d["doc_no"].to_pylist(), dtype=object)
+            order = np.argsort(ids)
+            arr = np.empty(self.n_docs, dtype=object)
+            arr[ids[order]] = nos[order]
+            self.doc_nos = arr
+
+        self._seg = ds.dataset(
+            os.path.join(out_dir, "segments"), format="parquet",
+            partitioning="hive",
+        )
+        self._seg_cols = [
+            "term", "n", "doc_ids_bin", "tfs_bin", "doc_lens_bin",
+        ]
+
+    # -- scoring ----------------------------------------------------------
+
+    def _decode(self, row: dict):
+        if self.settings.compression:
+            ids = delta_varint_decode(bytes(row["doc_ids_bin"]))
+            tfs = unary_decode(bytes(row["tfs_bin"]), minimum=1)
+        else:
+            ids = np.frombuffer(bytes(row["doc_ids_bin"]), dtype="<u4").astype(np.uint64)
+            tfs = np.frombuffer(bytes(row["tfs_bin"]), dtype="<u4").astype(np.uint64)
+        lens = np.frombuffer(bytes(row["doc_lens_bin"]), dtype="<u4").astype(np.uint64)
+        return ids, tfs, lens
+
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        metric: str = "BM25",
+        conjunctive: bool = False,
+        query_id: int = 0,
+    ) -> list[ServeResult]:
+        """Rank-identical to search_topk: duplicate query tokens score per
+        occurrence (search.go:30-46); absent terms dropped; conjunctive
+        requires all remaining distinct terms (search.go:113-116); ties
+        (score desc, doc_id asc)."""
+        import pyarrow.dataset as ds
+
+        if metric.upper() not in ("BM25", "TFIDF"):
+            raise ValueError(f"{metric} is not a valid metric")
+        use_bm25 = metric.upper() == "BM25"
+
+        w: dict[str, int] = {}
+        for t in py_tokens(text, self.settings.preprocess) if text else []:
+            w[t] = w.get(t, 0) + 1
+        qterms = [t for t in w if t in self.df]
+        if not qterms:
+            return []
+
+        tbl = self._seg.to_table(
+            filter=ds.field("term").isin(qterms), columns=self._seg_cols
+        )
+
+        acc = np.zeros(self.n_docs, dtype=np.float64)
+        hits = np.zeros(self.n_docs, dtype=np.int32) if conjunctive else None
+        terms_col = tbl["term"].to_pylist()
+        for i in range(tbl.num_rows):
+            term = terms_col[i]
+            row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:]}
+            ids, tfs, lens = self._decode(row)
+            idf = math.log(self.n_docs / self.df[term])
+            tf = tfs.astype(np.float64)
+            if use_bm25:
+                part = tf / (
+                    BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / self.adl)) + tf
+                )
+            else:
+                part = 1 + np.log(tf)
+            idx = ids.astype(np.int64)
+            acc[idx] += w[term] * idf * part
+            if hits is not None:
+                hits[idx] += 1
+
+        if conjunctive:
+            mask = hits == len(qterms)
+            cand = np.nonzero(mask)[0]
+        else:
+            cand = np.nonzero(acc != 0.0)[0]
+        if cand.size == 0:
+            return []
+        scores = acc[cand]
+        if cand.size > k:
+            # partition bound: keep every candidate scoring >= the k-th
+            # largest (ties widen the set; doc_id tiebreak resolves below)
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
+        out = []
+        for rank, j in enumerate(order):
+            did = int(cand[j])
+            out.append(ServeResult(
+                query_id=query_id, rank=rank, doc_id=did,
+                doc_no=(str(self.doc_nos[did]) if self.doc_nos is not None else None),
+                score=float(scores[j]),
+            ))
+        return out

@@ -20,7 +20,12 @@ def test_cli_build_and_search(spark, transcripts_path, tmp_path, capsys):
 
     rc = main(["search", "--index", out, "--query", "error function", "-k", "5"])
     assert rc == 0
-    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    all_lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    # reference prints "#\t<qid>\t<elapsed>\t<µs>" after each query's
+    # results (cmd/search.go:98-101) — present, and skipped by TREC parsers
+    timing = [ln for ln in all_lines if ln.startswith("#")]
+    assert timing and len(timing[0].split("\t")) == 4
+    lines = [ln for ln in all_lines if not ln.startswith("#")]
     for ln in lines:
         qid, q0, doc_no, rank, score, tag = ln.split("\t")
         assert q0 == "Q0" and tag == "pulse_spark"

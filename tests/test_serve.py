@@ -1,0 +1,107 @@
+"""Serving sidecar (serve.PointServer): rank-identical to the Spark
+DataFrame path over the same committed index, for both metrics and both
+modes — and fast (no Spark jobs in the query path)."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.fixtures import gen_queries
+from pulse_spark.index.persist import build_persisted_index
+from pulse_spark.query.search import search_topk
+from pulse_spark.serve import PointServer
+
+
+@pytest.fixture(scope="module", params=[True, False], ids=["compressed", "raw"])
+def served_index(spark, transcripts_path, tmp_path_factory, request):
+    out = str(tmp_path_factory.mktemp("serveidx") / f"idx_{request.param}")
+    settings = IndexingSettings(
+        stopwords_removal=True, stemming=True, term_buckets=4,
+        compression=request.param, block_size=32,
+    )
+    transcripts = spark.read.parquet(transcripts_path)
+    idx = build_persisted_index(
+        spark, transcripts, out, settings, build_segments=True
+    )
+    return idx, PointServer(out)
+
+
+@pytest.mark.parametrize("metric", ["BM25", "TFIDF"])
+@pytest.mark.parametrize("conjunctive", [False, True])
+def test_sidecar_equals_exact(spark, served_index, metric, conjunctive):
+    idx, srv = served_index
+    k = 10
+    qdf = spark.createDataFrame(gen_queries(), "query_id long, text string")
+    exact: dict[int, list] = {}
+    for r in search_topk(idx, qdf, k=k, metric=metric,
+                         conjunctive=conjunctive).collect():
+        exact.setdefault(r["query_id"], []).append(
+            (r["doc_no"], r["score"], r["rank"])
+        )
+
+    for qid, text in gen_queries():
+        got = [
+            (r.doc_no, r.score, r.rank)
+            for r in srv.search(text, k=k, metric=metric,
+                                conjunctive=conjunctive, query_id=qid)
+        ]
+        exp = sorted(exact.get(qid, []), key=lambda t: t[2])
+        assert len(got) == len(exp), (qid, got, exp)
+        # identical score sequence; identical membership within
+        # equal-score groups (summation-order ulps can permute ties)
+        for (ed, es, _), (gd, gs, _) in zip(exp, got):
+            assert math.isclose(es, gs, rel_tol=1e-9, abs_tol=1e-12), (qid, es, gs)
+
+        def groups(lst):
+            out, cur, cs = [], set(), None
+            for d, s, _ in lst:
+                if cs is None or abs(s - cs) > 1e-9:
+                    if cur:
+                        out.append(cur)
+                    cur, cs = set(), s
+                cur.add(d)
+            if cur:
+                out.append(cur)
+            return out
+
+        ge_all, gg_all = groups(exp), groups(got)
+        for i, (ge, gg) in enumerate(zip(ge_all, gg_all)):
+            if i < len(ge_all) - 1:  # last group may be truncated by k
+                assert ge == gg, (qid, i)
+
+
+def test_sidecar_semantics(served_index):
+    _, srv = served_index
+    # absent terms dropped silently; all-absent -> empty
+    assert srv.search("zzzzz qqqqq not-a-word") == []
+    # empty/None-ish text -> empty
+    assert srv.search("") == []
+    # duplicate tokens score per occurrence: doubled query term must
+    # produce exactly 2x the single-term score
+    single = srv.search("window", k=5)
+    double = srv.search("window window", k=5)
+    if single:
+        assert double and math.isclose(double[0].score, 2 * single[0].score,
+                                       rel_tol=1e-12)
+    with pytest.raises(ValueError):
+        srv.search("x", metric="PAGERANK")
+
+
+def test_sidecar_is_fast(served_index):
+    """Warm point query must be far under Spark's ~2 s job floor.  Loose
+    bound (250 ms) to absorb sandbox host noise; measured p50 is ~1-10 ms
+    (BENCH.md §4)."""
+    _, srv = served_index
+    qs = gen_queries()
+    srv.search(qs[0][1])  # warm file listing / lexicon
+    lat = []
+    for _qid, text in qs[:10]:
+        t0 = time.perf_counter()
+        srv.search(text, k=10)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    assert lat[len(lat) // 2] < 0.25, lat
