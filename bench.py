@@ -89,16 +89,16 @@ def _gen_scaling_input(tmp: str) -> str:
     import subprocess
 
     src = os.path.join(tmp, "transcripts")
-    # 256 files: at 64 files a 32-core scan is 2 task waves and any task
-    # variance idles up to half the cores in the tail (quantization); a
-    # real 10^12-turn table has millions of splits
+    # 64 files ≈ 5 MB each: measured the sweet spot — 256 tiny files cost
+    # ~40%% throughput at BOTH levels (per-file scan/footer overhead), so
+    # they'd distort absolute turns/sec without changing the ratio
     code = (
         "import sys; sys.path.insert(0, %r); "
         "from pulse_spark.fixtures import synth_transcripts_spark; "
         "from pulse_spark.session import get_spark; "
         "s = get_spark(app_name='pulse_scaling_gen', master='local[32]', "
         "shuffle_partitions=64); "
-        "synth_transcripts_spark(s, %d).repartition(256)"
+        "synth_transcripts_spark(s, %d).repartition(64)"
         ".write.mode('overwrite').parquet(%r)"
         % (os.path.dirname(os.path.abspath(__file__)), SCALING_CONVS, src)
     )
@@ -290,6 +290,52 @@ def run_latency() -> dict:
     return out
 
 
+def run_latency_sidecar() -> dict:
+    """Point-query latency through serve.PointServer (no Spark jobs in
+    the query path) over the same ~112k-turn index as --latency, built
+    WITH segments.  Rank-identity vs the Spark path is pinned in
+    tests/test_serve.py; this measures the serving speed."""
+    import statistics
+    import tempfile
+
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.fixtures import gen_queries, synth_transcripts_spark
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.serve import PointServer
+    from pulse_spark.session import get_spark
+
+    spark = get_spark(app_name="pulse_latency_sidecar", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    tmp = tempfile.mkdtemp(prefix="bench_latency_sidecar_")
+    tr = synth_transcripts_spark(spark, 25000)  # ~112k turns
+    idx_dir = os.path.join(tmp, "idx")
+    build_persisted_index(spark, tr, idx_dir, IndexingSettings(term_buckets=32),
+                          build_segments=True)
+    with open(os.path.join(idx_dir, "manifest.json")) as f:
+        n_docs = json.load(f)["stages"]["docs"]["rows"]
+    spark.stop()
+
+    srv = PointServer(idx_dir)
+    queries = gen_queries()
+    srv.search(queries[0][1], k=10)  # warm file listing
+    lat, per_q = [], {}
+    for qid, text in queries:
+        t0 = time.perf_counter()
+        srv.search(text, k=10)
+        ms = (time.perf_counter() - t0) * 1000
+        lat.append(ms)
+        per_q[str(qid)] = round(ms, 2)
+    lat.sort()
+    return {
+        "metric": "sidecar_bm25_top10_latency_p50_ms",
+        "value": round(statistics.median(lat), 2),
+        "unit": "ms",
+        "p90_ms": round(lat[int(0.9 * len(lat))], 2),
+        "n_docs": n_docs,
+        "queries": per_q,
+    }
+
+
 def run_host_ceiling() -> dict:
     """Spark-free control experiment: how well does ANY memory-heavy
     parallel workload scale 8->32 procs on this VM?  Runs the engine's own
@@ -355,6 +401,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--host-ceiling" in sys.argv:
         print(json.dumps(run_host_ceiling()))
+    elif "--latency-sidecar" in sys.argv:
+        print(json.dumps(run_latency_sidecar()))
     elif "--latency" in sys.argv:
         print(json.dumps(run_latency()))
     else:

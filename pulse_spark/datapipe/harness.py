@@ -65,6 +65,12 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir))
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """Hamming-banded SimHash near-dup pairs (no SQL oracle — simhash is
+    a pandas UDF; locality + banding exactness pinned in pytest)."""
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_cosine_topk(spark, sf_dir):
     return similarity.brute_cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
@@ -118,6 +124,7 @@ DATAPIPE_QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
+    "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
     "lsh_buckets": q_lsh_buckets,
     "lsh_cosine_topk": q_lsh_cosine_topk,

@@ -199,8 +199,15 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         _to_double(F.col(vec_col)).alias("v"),
     ).withColumn("features", array_to_vector(F.col("v")))
+    # coarse quantizer fits on a bounded SAMPLE: a KMeans over the full
+    # corpus is a multi-pass job over 100 TB for centroids that converge
+    # on a few hundred points per cell anyway.  Small corpora (n <= cap)
+    # fit on everything — behavior (and pinned recall) unchanged there.
+    sample_cap = 256 * n_cells
+    n = embeddings.count()
+    fit_src = e if n <= sample_cap else e.sample(fraction=sample_cap / n, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(e)
+    model = km.fit(fit_src)
     assigned = model.transform(e).select("vec_id", "v", "cell")
     nrm = assigned.withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
@@ -246,15 +253,87 @@ def ivf_cosine_topk(
     )
 
 
+def _banded_buckets(
+    e: DataFrame, dim: int, bands: int, bits_per_band: int
+) -> DataFrame:
+    """(vid, band, bucket): `bands` independent sign-projection bucket
+    tables from one deterministic plane family (plane id = band*bits+j —
+    same md5 generator as lsh_planes, so any engine reproduces it)."""
+    rows = []
+    for b in range(bands):
+        bucket = F.lit(0)
+        for j in range(bits_per_band):
+            plane = [_plane_sign(b * bits_per_band + j, d) for d in range(dim)]
+            p = F.array(*[F.lit(float(s)) for s in plane])
+            bucket = bucket + (_dot(F.col("v"), p) > 0).cast("int") * F.lit(2 ** j)
+        rows.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return e.select(
+        "vid", F.explode(F.array(*rows)).alias("bb")
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 16,
+    bits_per_band: int = 2,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """(id_a, id_b, cosine): embedding-cosine near-duplicate pairs.
-    Brute all-pairs here (oracle-checkable); the LSH-bucket join is the
-    scale path (pairs only within buckets)."""
+    """(id_a, id_b, cosine): embedding-cosine near-duplicate pairs —
+    banded-LSH candidate generation + exact cosine verify (precision 1
+    by construction; recall = 1-(1-(1-θ/π)^bits)^bands, ≈0.9999 even at
+    θ=60° with the 16x2-bit defaults, ≈1 for real near-dups θ<20°).
+
+    The 100 TB shape: per-band equi-join on (band, bucket) — never an
+    all-pairs crossJoin.  For tight thresholds (min_cosine ≥ 0.9) raise
+    bits_per_band (e.g. 8) to shrink candidate volume; the hot-bucket cap
+    bounds degenerate buckets (e.g. all-zero embeddings) like the
+    minhash path's."""
+    e = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).persist()
+    dim = len(e.select("v").first()["v"])
+    bk = _banded_buckets(e, dim, bands, bits_per_band)
+    if max_bucket_size is not None:
+        ok = (
+            bk.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bk = bk.join(ok, ["band", "bucket"])
+    a = bk.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = bk.select(F.col("vid").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .where(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute all-pairs oracle twin of embedding_near_dup_pairs — test/
+    oracle use ONLY (quadratic; the LSH-banded variant is the operator)."""
     e = embeddings.select(
         F.col(id_col).cast("long").alias("vid"),
         _to_double(F.col(vec_col)).alias("v"),

@@ -350,6 +350,29 @@ def q_bm25_segments_topk(spark, sf_dir):
     )
 
 
+def q_retrieval_quality(spark, sf_dir):
+    """trec_eval analog (eval.py): per-query P@10 / recall@10 / NDCG@10 /
+    AP@10 of the disjunctive BM25 run against a deterministic synthetic
+    qrels table (doc_id % 10 == query_id % 10, graded by doc_id % 3) —
+    the metric MATH is under the SQL oracle; reference-semantics quality
+    is guarded by the pytest golds (trec_eval/README.md:22-36 model)."""
+    from pulse_spark.eval import trec_metrics
+
+    res = _topk(spark, sf_dir, "BM25", conjunctive=False)
+    docs = load_documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    qids = spark.createDataFrame(
+        [(q,) for q, _ in HARNESS_QUERIES], "query_id long"
+    )
+    qrels = (
+        qids.crossJoin(docs)
+        .where(F.col("doc_id") % 10 == F.col("query_id") % 10)
+        .withColumn(
+            "rel", (F.lit(1) + (F.col("doc_id") % 3 == 0).cast("int")).cast("int")
+        )
+    )
+    return trec_metrics(res, qrels, k=K)
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -361,7 +384,56 @@ FULLTEXT_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "bm25_segments_topk": q_bm25_segments_topk,
+    "retrieval_quality": q_retrieval_quality,
 }
+
+
+def _quality_oracle_sql() -> str:
+    qvals = ", ".join(f"({q})" for q, _ in HARNESS_QUERIES)
+    return f"""
+WITH res AS (
+  SELECT * FROM ({_topk_sql("BM25", conjunctive=False)})
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id, 1 + CAST(d.doc_id % 3 = 0 AS INT) AS rel
+  FROM (VALUES {qvals}) q(query_id), documents d
+  WHERE d.doc_id % 10 = q.query_id % 10
+),
+j AS (
+  SELECT r.query_id, r.rank, r.doc_id, coalesce(qr.rel, 0) AS rel,
+         CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS is_rel
+  FROM res r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+  WHERE r.rank < {K}
+),
+jj AS (
+  SELECT *, (pow(2.0, rel) - 1) / log2(rank + 2.0) AS gain,
+         sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
+                           ROWS UNBOUNDED PRECEDING) / (rank + 1.0) AS prec_at_i
+  FROM j
+),
+perq AS (
+  SELECT query_id, sum(is_rel) AS n_hit, sum(gain) AS dcg,
+         sum(prec_at_i * is_rel) AS ap_num
+  FROM jj GROUP BY 1
+),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, rel) - 1) / log2(i + 2.0)) AS idcg FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) - 1 AS i
+    FROM qrels WHERE rel > 0)
+  WHERE i < {K} GROUP BY 1
+),
+tot AS (SELECT query_id, count(*) AS n_rel FROM qrels WHERE rel > 0 GROUP BY 1)
+SELECT CAST(t.query_id AS BIGINT) AS query_id,
+       round(coalesce(p.n_hit, 0) / {K}.0, 6) AS p_at_{K},
+       round(coalesce(p.n_hit, 0) / CAST(t.n_rel AS DOUBLE), 6) AS recall_at_{K},
+       round(coalesce(p.dcg, 0) / i.idcg, 6) AS ndcg_at_{K},
+       round(coalesce(p.ap_num, 0) / CAST(least(t.n_rel, {K}) AS DOUBLE), 6) AS ap_at_{K}
+FROM tot t
+JOIN ideal i ON i.query_id = t.query_id
+LEFT JOIN perq p ON p.query_id = t.query_id
+"""
 
 
 FULLTEXT_ORACLES = {
@@ -393,5 +465,6 @@ SELECT term, df, max_tf FROM df
     # the segments path must agree with the SAME relational oracle —
     # codecs + block encode/decode + MaxScore pruning are all under test
     "bm25_segments_topk": _topk_sql("BM25", conjunctive=False),
+    "retrieval_quality": _quality_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

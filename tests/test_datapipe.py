@@ -11,28 +11,81 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_lsh_recall_vs_brute(spark):
+    """At HARNESS parameters (auto-scaled bits + multi-probe), LSH ANN
+    must return rows and hit a recall floor vs brute force — round 1's
+    fixed 16-bit single-probe returned ZERO rows on 500 vectors."""
     from pulse_spark.datapipe.similarity import brute_cosine_topk, lsh_cosine_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = [0, 1, 2, 3, 4]
     brute = brute_cosine_topk(emb, qids, k=10)
-    # 4-bit buckets here: 16-bit single-probe LSH over 500 random vectors
-    # leaves ~every vector alone in its bucket (recall→0 by design); the
-    # scale default assumes billions of vectors per bucket space
-    lsh = lsh_cosine_topk(emb, qids, dim=64, k=10, bits=4)
+    lsh = lsh_cosine_topk(emb, qids, dim=64, k=10)  # bits=None -> auto
     b = {}
     for r in brute.collect():
         b.setdefault(r["query_id"], set()).add(r["vec_id"])
     l = {}
     for r in lsh.collect():
         l.setdefault(r["query_id"], set()).add(r["vec_id"])
-    # approximate: all LSH results must be real vectors, and candidates
-    # found must be a subset of docs (sanity) — recall is corpus-dependent;
-    # assert it's nonzero overall (single-probe 16-bit LSH is coarse)
-    total_overlap = sum(len(b[q] & l.get(q, set())) for q in b)
-    assert total_overlap >= 1
-    # every returned LSH neighbor shares the query's bucket by construction
+    assert l, "auto-scaled multi-probe LSH returned no rows"
+    recall = sum(len(b[q] & l.get(q, set())) for q in b) / sum(len(b[q]) for q in b)
+    assert recall >= 0.5, recall
     assert all(len(v) <= 10 for v in l.values())
+
+
+def test_embedding_near_dups_banded_equals_exact(spark):
+    """The banded-LSH near-dup operator must (a) agree with the brute
+    all-pairs twin on this corpus and (b) contain NO cartesian product in
+    its physical plan — the crossJoin was the round-1 scale defect."""
+    from pulse_spark.datapipe.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    banded = embedding_near_dup_pairs(emb, min_cosine=0.45)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in banded.collect()}
+    exp = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup_pairs_exact(emb, min_cosine=0.45).collect()}
+    assert got == exp
+
+
+def test_simhash_banded_near_dups(spark):
+    from pulse_spark.datapipe.dedup import simhash_near_dup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # identical
+        (3, "the quick brown fox leaps over the lazy dog"),   # near
+        (4, "completely different words entirely unrelated payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(df, max_hamming=3).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs: Hamming 0, always found
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4)  # > bands-1: not exact
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    """A boilerplate corpus collapses into one band bucket; with the cap
+    below the group size the quadratic candidate join must be skipped
+    (exact dedup still catches these — they are exact duplicates)."""
+    from pulse_spark.datapipe.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(30)]
+    boiler += [(100, "a genuinely different document with other words here"),
+               (101, "a genuinely different document with other words here now")]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = minhash_lsh_pairs(df, min_jaccard=0.1, max_bucket_size=10).collect()
+    ids = {x for r in capped for x in (r["id_a"], r["id_b"])}
+    assert ids <= {100, 101}  # the 30-doc degenerate bucket contributed nothing
+    uncapped = minhash_lsh_pairs(df, min_jaccard=0.1, max_bucket_size=100_000)
+    assert uncapped.where("id_a < 100").count() == 30 * 29 // 2
 
 
 def test_ivf_recall_vs_brute(spark):
