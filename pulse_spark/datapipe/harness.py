@@ -108,6 +108,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_conv_stats(spark, sf_dir):
+    """Transcript-structure profile over the deterministic multi-turn
+    wrapping of the documents table (transcripts.py)."""
+    from pulse_spark.datapipe import transcripts as tr
+
+    return tr.conv_stats(tr.docs_as_transcripts(_docs(spark, sf_dir)))
+
+
+def q_conv_text(spark, sf_dir):
+    """Conversation flattening under stable turn ordering (the north-rule
+    per-turn text invariant, conversation-level)."""
+    from pulse_spark.datapipe import transcripts as tr
+
+    return tr.conv_text(tr.docs_as_transcripts(_docs(spark, sf_dir)))
+
+
+def q_response_pairs(spark, sf_dir):
+    """(prompt, response) turn pairing — co-partitioned self-join."""
+    from pulse_spark.datapipe import transcripts as tr
+
+    return tr.response_pairs(tr.docs_as_transcripts(_docs(spark, sf_dir)))
+
+
 def q_events_hourly(spark, sf_dir):
     return events.hourly_counts(_events(spark, sf_dir))
 
@@ -132,6 +155,9 @@ DATAPIPE_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "conv_stats": q_conv_stats,
+    "conv_text": q_conv_text,
+    "response_pairs": q_response_pairs,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
 }
@@ -361,5 +387,38 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events GROUP BY 1, 2
 """,
     "events_sessions": _sessionize_sql(events.SESSION_GAP_MIN),
-    # no oracle (rows-only): simhash, lsh_cosine_topk, multimodal_features
+    "conv_stats": f"""
+WITH tr AS (
+  SELECT doc_id % 100 AS conv_id, doc_id // 100 AS turn_idx, text
+  FROM documents
+)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn,
+       CAST(sum(strlen({_TRIM})) AS BIGINT) AS total_bytes,
+       round(avg(strlen({_TRIM})), 6) AS mean_turn_bytes
+FROM tr GROUP BY 1
+""",
+    "conv_text": """
+WITH tr AS (
+  SELECT doc_id % 100 AS conv_id, doc_id // 100 AS turn_idx, text
+  FROM documents
+)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       string_agg(text, ' ' ORDER BY turn_idx) AS text
+FROM tr GROUP BY 1
+""",
+    "response_pairs": """
+WITH tr AS (
+  SELECT doc_id % 100 AS conv_id, doc_id // 100 AS turn_idx, text
+  FROM documents
+)
+SELECT CAST(a.conv_id AS BIGINT) AS conv_id,
+       CAST(a.turn_idx AS BIGINT) AS turn_idx,
+       a.text AS text, b.text AS next_text
+FROM tr a JOIN tr b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+""",
+    # no oracle (rows-only): simhash, simhash_near_dups, lsh_cosine_topk,
+    # ivf_cosine_topk, multimodal_features
 }

@@ -1,0 +1,105 @@
+"""Transcript-structure operators — the multi-turn conversation data
+model of the north star (conv_id, turn_idx, text, ...), as pure
+DataFrame plans.
+
+The harness testdata ships flat documents, so the canonical
+deterministic wrapping `conv_id = doc_id % n_convs, turn_idx = doc_id
+div n_convs` (same rule in the DuckDB oracles) recreates multi-turn
+conversations; production callers pass real transcript tables.
+
+Scale notes: conv_stats / conv_text group on conv_id — one shuffle,
+uniform keys (conversations are bounded: even pathological agent loops
+are thousands of turns, never millions, so no salting needed).
+response_pairs is a self-equi-join on (conv_id, turn_idx+1): Spark
+sort-merge-joins on the same key both sides — co-partitioned, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulse_spark.text.udfs import doc_len_bytes
+
+N_CONVS = 100  # deterministic wrapping factor for the flat-docs testdata
+
+
+def docs_as_transcripts(docs: DataFrame, n_convs: int = N_CONVS) -> DataFrame:
+    """(conv_id, turn_idx, text): deterministic multi-turn wrapping of a
+    flat documents table (doc_id -> (doc_id % n, doc_id div n))."""
+    return docs.select(
+        (F.col("doc_id") % n_convs).cast("long").alias("conv_id"),
+        F.floor(F.col("doc_id") / n_convs).cast("long").alias("turn_idx"),
+        "text",
+    )
+
+
+def conv_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation shape stats: (conv_id, n_turns, first_turn,
+    last_turn, total_bytes, mean_turn_bytes) — the per-conversation
+    health profile a transcript pipeline filters on (truncated convs,
+    runaway agent loops, empty turns)."""
+    b = doc_len_bytes("text").cast("long")
+    return transcripts.groupBy(F.col("conv_id").cast("long").alias("conv_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+        F.sum(b).cast("long").alias("total_bytes"),
+        F.round(F.avg(b), 6).alias("mean_turn_bytes"),
+    )
+
+
+def conv_text(transcripts: DataFrame, sep: str = " ") -> DataFrame:
+    """(conv_id, text): the conversation flattened to one document —
+    turns concatenated under STABLE turn ordering (the north-rule
+    invariant).  sort_array over (turn_idx, text) structs gives a
+    deterministic order without a window shuffle."""
+    return (
+        transcripts.groupBy(F.col("conv_id").cast("long").alias("conv_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+
+
+def response_pairs(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, text, next_text): each turn joined with its
+    successor under stable ordering — the (prompt, response) pairing a
+    training pipeline extracts.  Self-join on (conv_id, turn_idx + 1):
+    both sides shuffle on the same key, so the join is co-partitioned."""
+    cur = transcripts.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "text",
+    )
+    nxt = transcripts.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        (F.col("turn_idx") - 1).cast("long").alias("turn_idx"),
+        F.col("text").alias("next_text"),
+    )
+    return cur.join(nxt, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "text", "next_text"
+    )
+
+
+def turn_deltas(transcripts_with_ts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, gap_sec): seconds since the previous turn in
+    the conversation — latency profiling for agent transcripts.  Window
+    per conv_id (bounded partitions, see module notes)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts_with_ts.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.round(
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+            6,
+        ).alias("gap_sec"),
+    )

@@ -373,6 +373,20 @@ def q_retrieval_quality(spark, sf_dir):
     return trec_metrics(res, qrels, k=K)
 
 
+PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary
+
+
+def q_phrase_match(spark, sf_dir):
+    """Positional phrase matching (Spark-first extension; SURVEY §2.6):
+    token-adjacency inside the tokenizer's array output — one scan, no
+    explode, no shuffle."""
+    from pulse_spark.query.phrase import phrase_match
+
+    return phrase_match(
+        load_documents(spark, sf_dir), PHRASE, SETTINGS.preprocess
+    )
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -385,7 +399,27 @@ FULLTEXT_QUERIES = {
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "bm25_segments_topk": q_bm25_segments_topk,
     "retrieval_quality": q_retrieval_quality,
+    "phrase_match": q_phrase_match,
 }
+
+
+def _phrase_oracle_sql() -> str:
+    from pulse_spark.text.normalize import tokens as py_tokens
+
+    toks = py_tokens(PHRASE, SETTINGS.preprocess)
+    n = len(toks)
+    cond = " AND ".join(f"toks[i + {j}] = '{t}'" for j, t in enumerate(toks))
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_sql(True)} AS toks FROM documents),
+c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) - {n} + 2), i -> {cond}))
+         ELSE 0 END AS BIGINT) AS n_occ
+  FROM d
+)
+SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+"""
 
 
 def _quality_oracle_sql() -> str:
@@ -466,5 +500,6 @@ SELECT term, df, max_tf FROM df
     # codecs + block encode/decode + MaxScore pruning are all under test
     "bm25_segments_topk": _topk_sql("BM25", conjunctive=False),
     "retrieval_quality": _quality_oracle_sql(),
+    "phrase_match": _phrase_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -234,3 +234,44 @@ def test_fingerprints_stability(spark):
           for r in fingerprints(df).collect()}
     assert fp[1] == fp[2]        # normalization collapses case/ws
     assert fp[1] != fp[3]
+
+
+def test_turn_deltas(spark):
+    from datetime import datetime
+
+    from pulse_spark.datapipe.transcripts import turn_deltas
+
+    rows = [
+        (1, 0, datetime(2026, 1, 1, 0, 0, 0)),
+        (1, 1, datetime(2026, 1, 1, 0, 0, 30)),
+        (1, 2, datetime(2026, 1, 1, 0, 2, 0)),
+        (2, 0, datetime(2026, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx long, ts timestamp")
+    got = {(r["conv_id"], r["turn_idx"]): r["gap_sec"]
+           for r in turn_deltas(df).collect()}
+    assert got[(1, 0)] is None and got[(2, 0)] is None
+    assert got[(1, 1)] == 30.0 and got[(1, 2)] == 90.0
+
+
+def test_phrase_match_semantics(spark):
+    from pulse_spark.query.phrase import phrase_match
+    from pulse_spark.text.normalize import PreprocessSettings
+
+    rows = [
+        (1, "spark join merge"),                  # match at pos 1
+        (2, "spark the join"),                    # stopword removed -> adjacent
+        (3, "join spark"),                        # wrong order
+        (4, "spark join spark join"),             # two occurrences
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = PreprocessSettings(stemming=False)
+    got = {r["doc_id"]: r["n_occ"] for r in phrase_match(df, "spark join", s).collect()}
+    assert got == {1: 1, 2: 1, 4: 2}
+    assert phrase_match(df, "the of a", s).count() == 0  # all-stopword phrase
+    # punctuation is stripped by the tokenizer BEFORE tokens reach the
+    # expression builder, so quoting can never reach the SQL literal
+    got2 = {r["doc_id"]: r["n_occ"]
+            for r in phrase_match(df, "SPARK, join!", s).collect()}
+    assert got2 == {1: 1, 2: 1, 4: 2}

@@ -104,3 +104,76 @@ def test_streaming_hourly_counts_matches_batch(spark, tmp_path):
     got = {(r["hour"], r["event_type"]): (r["n"], r["sum_value"])
            for r in spark.sql("select * from hourly_t").collect()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState sessionization
+# ---------------------------------------------------------------------------
+
+
+def _write_events(path, rows):
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([""] * len(rows), pa.string()),
+    })
+    pq.write_table(table, path)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Closed sessions emitted by the applyInPandasWithState operator
+    must equal the batch sessionize over the same events, minus each
+    user's final (still-open) session."""
+    from datetime import datetime, timedelta
+
+    from pulse_spark.datapipe.events import sessionize
+    from pulse_spark.streaming.stateful import start_stateful_sessions
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + timedelta(minutes=minutes)
+
+    # user 1: two sessions in batch 1 (gap 45 min); user 2: one session
+    batch1 = [
+        (1, ts(0), 1, 1.0), (2, ts(5), 1, 2.0),          # u1 s1
+        (3, ts(50), 1, 3.0),                             # u1 s2 (gap 45)
+        (4, ts(0), 2, 4.0), (5, ts(10), 2, 5.0),         # u2 s1
+    ]
+    # batch 2: sentinels 2h later close every open session and open a new one
+    batch2 = [(6, ts(180), 1, 0.5), (7, ts(180), 2, 0.25)]
+
+    src = tmp_path / "ev_in"
+    out = tmp_path / "ev_out"
+    src.mkdir()
+    _write_events(str(src / "b1.parquet"), batch1)
+    q = start_stateful_sessions(spark, str(src), str(out))
+    q.awaitTermination(120)
+    _write_events(str(src / "b2.parquet"), batch2)
+    q = start_stateful_sessions(spark, str(src), str(out))
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(out / "sessions")).collect()
+    }
+    all_events = spark.createDataFrame(
+        [(e, t, u, "click", v, "") for e, t, u, v in batch1 + batch2],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    batch = sessionize(all_events).collect()
+    # drop each user's LAST session (still open in the stream's state)
+    last_start = {}
+    for r in batch:
+        if r["session_start"] > last_start.get(r["user_id"], ""):
+            last_start[r["user_id"]] = r["session_start"]
+    exp = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in batch if r["session_start"] != last_start[r["user_id"]]
+    }
+    assert got == exp
+    assert len(got) == 3  # u1 x2 closed + u2 x1 closed
