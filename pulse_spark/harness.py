@@ -294,6 +294,30 @@ def q_bm25_stemmed_topk(spark, sf_dir):
     return _topk(spark, sf_dir, "BM25", conjunctive=False, settings=SETTINGS_STEMMED)
 
 
+def _segments_index(spark, sf_dir):
+    """Session-cached committed segments index over the sf documents
+    table wrapped as single-turn transcripts (conv_id = doc_id)."""
+    import tempfile
+
+    from pulse_spark.index.persist import build_persisted_index
+
+    key = (spark.sparkContext.applicationId, "segidx", sf_dir)
+    if key not in _SHARED:
+        out = tempfile.mkdtemp(prefix="pulse_seg_idx_")
+        transcripts = load_documents(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            "text",
+        )
+        _SHARED[key] = build_persisted_index(
+            spark, transcripts, out,
+            IndexingSettings(stopwords_removal=True, stemming=False,
+                             compression=True, term_buckets=8),
+            build_segments=True,
+        )
+    return _SHARED[key]
+
+
 def q_bm25_segments_topk(spark, sf_dir):
     """B7 + C1-C4 + Q4 + Q9 end-to-end under the SQL oracle: disjunctive
     BM25 top-k scored THROUGH the committed compressed block segments
@@ -306,27 +330,9 @@ def q_bm25_segments_topk(spark, sf_dir):
     doc_id), and results map back to the external doc_id.  Ranking is
     re-derived on (round(score,6), doc_id) for cross-engine determinism,
     like _topk's tie_round."""
-    import tempfile
-
-    from pulse_spark.index.persist import build_persisted_index
     from pulse_spark.index.segments import search_segments
 
-    key = (spark.sparkContext.applicationId, "segidx", sf_dir)
-    if key not in _SHARED:
-        out = tempfile.mkdtemp(prefix="pulse_seg_idx_")
-        transcripts = load_documents(spark, sf_dir).select(
-            F.col("doc_id").cast("string").alias("conv_id"),
-            F.lit(0).cast("int").alias("turn_idx"),
-            "text",
-        )
-        idx = build_persisted_index(
-            spark, transcripts, out,
-            IndexingSettings(stopwords_removal=True, stemming=False,
-                             compression=True, term_buckets=8),
-            build_segments=True,
-        )
-        _SHARED[key] = idx
-    idx = _SHARED[key]
+    idx = _segments_index(spark, sf_dir)
     queries = spark.createDataFrame(HARNESS_QUERIES, "query_id long, text string")
     # over-fetch so boundary ties at round(·,6) precision can be re-ranked
     # on the EXTERNAL doc_id (internal dense ids sort conv_id as strings)
@@ -373,6 +379,41 @@ def q_retrieval_quality(spark, sf_dir):
     return trec_metrics(res, qrels, k=K)
 
 
+def q_bm25_sidecar_topk(spark, sf_dir):
+    """The NO-SPARK serving sidecar (serve.PointServer) under the same
+    DuckDB oracle as bm25_topk: queries are answered from the committed
+    segment parquet with pyarrow + numpy — zero Spark jobs in the query
+    path — and the results are lifted back into a DataFrame only for the
+    driver's comparison.  Reuses the session's segments index."""
+    idx = _segments_index(spark, sf_dir)
+    from pulse_spark.serve import PointServer
+
+    key = (spark.sparkContext.applicationId, "sidecar", sf_dir)
+    if key not in _SHARED:
+        _SHARED[key] = PointServer(idx.out_dir)
+    srv = _SHARED[key]
+    rows = []  # conv_id string == external doc_id (single-turn wrap)
+    for qid, text in HARNESS_QUERIES:
+        for r in srv.search(text, k=K + 20, metric="BM25", query_id=qid):
+            ext = int(r.doc_no.split(":")[0])
+            rows.append((qid, ext, r.score))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank long, score double"
+        )
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        df.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < K)
+        .select("query_id", "doc_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary
 
 
@@ -398,6 +439,7 @@ FULLTEXT_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "bm25_segments_topk": q_bm25_segments_topk,
+    "bm25_sidecar_topk": q_bm25_sidecar_topk,
     "retrieval_quality": q_retrieval_quality,
     "phrase_match": q_phrase_match,
 }
@@ -499,6 +541,8 @@ SELECT term, df, max_tf FROM df
     # the segments path must agree with the SAME relational oracle —
     # codecs + block encode/decode + MaxScore pruning are all under test
     "bm25_segments_topk": _topk_sql("BM25", conjunctive=False),
+    # the no-Spark serving path must agree with the SAME relational oracle
+    "bm25_sidecar_topk": _topk_sql("BM25", conjunctive=False),
     "retrieval_quality": _quality_oracle_sql(),
     "phrase_match": _phrase_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)

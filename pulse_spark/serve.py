@@ -56,7 +56,8 @@ class PointServer:
     index without a SparkSession (requires build_segments=True at build
     time)."""
 
-    def __init__(self, out_dir: str, load_doc_nos: bool = True):
+    def __init__(self, out_dir: str, load_doc_nos: bool = True,
+                 cache_terms: int = 4096):
         import json
 
         import pyarrow.dataset as ds
@@ -98,6 +99,37 @@ class PointServer:
         self._seg_cols = [
             "term", "n", "doc_ids_bin", "tfs_bin", "doc_lens_bin",
         ]
+        # LRU of DECODED per-term blocks — repeated/hot query terms skip
+        # both the parquet read and the varint/unary decode (the analog
+        # of the reference's OS page cache over its mmap'd postings)
+        from collections import OrderedDict
+
+        self._cache_terms = cache_terms
+        self._block_cache: OrderedDict[str, list] = OrderedDict()
+
+    def _blocks_for(self, qterms: list[str]) -> dict[str, list]:
+        """term -> [(doc_ids, tfs, doc_lens)] decoded blocks, via LRU."""
+        import pyarrow.dataset as ds
+
+        missing = [t for t in qterms if t not in self._block_cache]
+        if missing:
+            tbl = self._seg.to_table(
+                filter=ds.field("term").isin(missing), columns=self._seg_cols
+            )
+            new: dict[str, list] = {t: [] for t in missing}
+            terms_col = tbl["term"].to_pylist()
+            for i in range(tbl.num_rows):
+                row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:]}
+                new[terms_col[i]].append(self._decode(row))
+            for t in missing:
+                self._block_cache[t] = new[t]
+            while len(self._block_cache) > self._cache_terms:
+                self._block_cache.popitem(last=False)
+        out = {}
+        for t in qterms:
+            self._block_cache.move_to_end(t)
+            out[t] = self._block_cache[t]
+        return out
 
     # -- scoring ----------------------------------------------------------
 
@@ -123,8 +155,6 @@ class PointServer:
         occurrence (search.go:30-46); absent terms dropped; conjunctive
         requires all remaining distinct terms (search.go:113-116); ties
         (score desc, doc_id asc)."""
-        import pyarrow.dataset as ds
-
         if metric.upper() not in ("BM25", "TFIDF"):
             raise ValueError(f"{metric} is not a valid metric")
         use_bm25 = metric.upper() == "BM25"
@@ -136,29 +166,24 @@ class PointServer:
         if not qterms:
             return []
 
-        tbl = self._seg.to_table(
-            filter=ds.field("term").isin(qterms), columns=self._seg_cols
-        )
+        blocks = self._blocks_for(qterms)
 
         acc = np.zeros(self.n_docs, dtype=np.float64)
         hits = np.zeros(self.n_docs, dtype=np.int32) if conjunctive else None
-        terms_col = tbl["term"].to_pylist()
-        for i in range(tbl.num_rows):
-            term = terms_col[i]
-            row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:]}
-            ids, tfs, lens = self._decode(row)
+        for term in qterms:
             idf = math.log(self.n_docs / self.df[term])
-            tf = tfs.astype(np.float64)
-            if use_bm25:
-                part = tf / (
-                    BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / self.adl)) + tf
-                )
-            else:
-                part = 1 + np.log(tf)
-            idx = ids.astype(np.int64)
-            acc[idx] += w[term] * idf * part
-            if hits is not None:
-                hits[idx] += 1
+            for ids, tfs, lens in blocks[term]:
+                tf = tfs.astype(np.float64)
+                if use_bm25:
+                    part = tf / (
+                        BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / self.adl)) + tf
+                    )
+                else:
+                    part = 1 + np.log(tf)
+                idx = ids.astype(np.int64)
+                acc[idx] += w[term] * idf * part
+                if hits is not None:
+                    hits[idx] += 1
 
         if conjunctive:
             mask = hits == len(qterms)

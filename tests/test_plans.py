@@ -1,0 +1,80 @@
+"""Physical-plan shape guards — the scale properties that correctness
+tests can't see: predicate pushdown into the postings scan, partition
+pruning on the bucket layout, broadcast of the small side, and the
+two-phase (partial) top-k.  A regression here is invisible at sf0.001
+and fatal at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.index.persist import build_persisted_index
+from pulse_spark.query.search import search_topk
+
+
+@pytest.fixture(scope="module")
+def plan_index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("planidx") / "idx")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    return build_persisted_index(
+        spark, tr, out, IndexingSettings(term_buckets=8)
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_search_plan_pushdown_and_pruning(spark, plan_index):
+    q = spark.createDataFrame(
+        [(1, "spark join merge")], "query_id long, text string"
+    )
+    plan = _plan(search_topk(plan_index, q, k=5))
+    # term literals reach the postings scan (row-group min/max pruning on
+    # the term-sorted files — the lexicon-seek analog)
+    assert "IN (join,merg,spark)" in plan or "In(term" in plan, plan
+    # bucket partition pruning: only the query terms' hash buckets are read
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "/postings" in ln
+    ]
+    assert scan_lines and any(
+        "PartitionFilters: [" in ln and "bucket" in ln.split("PartitionFilters:")[1]
+        for ln in scan_lines
+    ), scan_lines
+    # the tiny sides (query terms, result map-back) broadcast — the big
+    # postings table must never be the shuffled side of a join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_search_plan_partial_topk(spark, plan_index):
+    """Two window nodes: per-(query, slice) bounded top-k BEFORE the
+    global per-query window (search.go:49-74's two-phase heap shape)."""
+    q = spark.createDataFrame([(1, "spark join")], "query_id long, text string")
+    plan = _plan(search_topk(plan_index, q, k=5))
+    assert plan.count("Window") >= 2, plan
+
+
+def test_no_cartesian_in_datapipe_scale_paths(spark):
+    """The near-dup operators' candidate generation must be equi-joins."""
+    from pulse_spark.datapipe.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
+    from pulse_spark.datapipe.similarity import embedding_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (
+        minhash_lsh_pairs(docs),
+        simhash_near_dup_pairs(docs),
+        embedding_near_dup_pairs(emb),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
