@@ -243,6 +243,61 @@ def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.2,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the near-duplicate
+    pair graph (minhash_lsh_pairs edges); cluster_id = min doc id in the
+    component; docs with no near-dup are singleton clusters of themselves.
+
+    Iterative min-label propagation: each round every node takes the min
+    label in its neighborhood; converges in <= graph-diameter rounds
+    (near-dup components are chains/cliques of duplicates — diameter is
+    small in practice; max_iter bounds pathology).  Each round is one
+    equi-join + one groupBy — the simple O(d) variant of the
+    large-star/small-star alternation used at web scale; edges are
+    persisted once and reused across rounds."""
+    pairs = minhash_lsh_pairs(docs, id_col, min_jaccard)
+    nodes = docs.select(F.col(id_col).cast("long").alias("node")).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    for _ in range(max_iter):
+        # neighborhood min: my label vs min label among my neighbors
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("label").cast("long").alias("cluster_id"),
+    )
+
+
 SIMHASH_BANDS = 4  # 16-bit bands over the 64-bit signature
 
 

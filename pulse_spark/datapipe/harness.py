@@ -61,6 +61,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), min_jaccard=JACCARD_TAU)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation; DuckDB oracle = recursive-CTE closure)."""
+    return dedup.near_dup_clusters(_docs(spark, sf_dir), min_jaccard=JACCARD_TAU)
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composed training-data prep decisions: quality thresholds +
+    near-dup-canonical keep, one plan."""
+    from pulse_spark.datapipe.pipeline import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir), min_jaccard=JACCARD_TAU)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash_table(_docs(spark, sf_dir))
 
@@ -146,6 +160,8 @@ DATAPIPE_QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "corpus_filter": q_corpus_filter,
     "simhash": q_simhash,
     "simhash_near_dups": q_simhash_near_dups,
     "cosine_topk": q_cosine_topk,
@@ -422,3 +438,40 @@ FROM tr a JOIN tr b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
     # no oracle (rows-only): simhash, simhash_near_dups, lsh_cosine_topk,
     # ivf_cosine_topk, multimodal_features
 }
+
+# clusters / composed-filter oracles reuse earlier oracle SQL as
+# subqueries (DuckDB supports WITH inside a parenthesized subquery)
+DATAPIPE_ORACLES["near_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({DATAPIPE_ORACLES["minhash_lsh_pairs"]})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT CAST(src AS BIGINT) AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1
+"""
+
+DATAPIPE_ORACLES["corpus_filter"] = f"""
+WITH RECURSIVE cl AS (
+  SELECT * FROM ({DATAPIPE_ORACLES["near_dup_clusters"]})
+),
+tq AS (
+  SELECT * FROM ({DATAPIPE_ORACLES["text_quality"]})
+)
+SELECT CAST(tq.doc_id AS BIGINT) AS doc_id,
+       (tq.n_tokens >= 5 AND tq.digit_ratio <= 0.3
+        AND tq.stopword_ratio >= 0.01) AS keep_quality,
+       (cl.cluster_id = cl.doc_id) AS keep_dedup,
+       ((tq.n_tokens >= 5 AND tq.digit_ratio <= 0.3
+         AND tq.stopword_ratio >= 0.01)
+        AND cl.cluster_id = cl.doc_id) AS keep
+FROM tq JOIN cl ON cl.doc_id = tq.doc_id
+"""

@@ -275,3 +275,35 @@ def test_phrase_match_semantics(spark):
     got2 = {r["doc_id"]: r["n_occ"]
             for r in phrase_match(df, "SPARK, join!", s).collect()}
     assert got2 == {1: 1, 2: 1, 4: 2}
+
+
+def test_near_dup_clusters_and_corpus_filter(spark):
+    from pulse_spark.datapipe.dedup import near_dup_clusters
+    from pulse_spark.datapipe.pipeline import corpus_filter, kept_corpus
+
+    rows = [
+        # chain: 1~2 and 2~3 near-dups -> one cluster {1,2,3} even though
+        # 1 and 3 may not pair directly (transitivity via components)
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "beta gamma delta epsilon zeta eta iota kappa"),
+        (4, "completely different content with many unique words here"),
+        (5, "1 2 3 4 5 6 7 8 9 0 1 2 3 4"),   # digit soup -> quality fail
+        (6, "tiny"),                          # too few tokens -> quality fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in near_dup_clusters(df, min_jaccard=0.3).collect()}
+    assert cl[1] == cl[2] == cl[3] == 1   # one component, min-id canonical
+    assert cl[4] == 4 and cl[5] == 5 and cl[6] == 6
+
+    dec = {r["doc_id"]: (r["keep_quality"], r["keep_dedup"], r["keep"])
+           for r in corpus_filter(df, min_jaccard=0.3,
+                                  min_stopword_ratio=0.0).collect()}
+    assert dec[1][1] and not dec[2][1] and not dec[3][1]  # canonical only
+    assert not dec[5][0] and not dec[6][0]                # quality fails
+    assert dec[4] == (True, True, True)
+
+    kept = {r["doc_id"] for r in kept_corpus(df, min_jaccard=0.3,
+                                             min_stopword_ratio=0.0).collect()}
+    assert kept == {1, 4}
