@@ -2,7 +2,8 @@
 
 Layout (out_dir):
   manifest.json                 settings + stage lineage (checkpoint.py)
-  docs/                         (doc_no, conv_id, turn_idx, text, doc_len
+  docs/                         (doc_no, conv_id, turn_idx, doc_len
+                                 [, text when settings.store_text]
                                  [, doc_id when assign_ids])
   postings/bucket=B/            (term, <id>, tf, doc_len) where <id> is
                                 the 8-byte doc_id when assign_ids=True
