@@ -160,6 +160,40 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """trec_eval analog (trec_eval/README.md:22-36 workflow): score a
+    TREC run file against a qrels file with eval.py's metrics.
+
+    run file:   qid Q0 doc_no rank score tag   ('#' timing lines skipped)
+    qrels file: qid 0 doc_no rel
+    """
+    spark = _spark(args)
+    from pulse_spark.eval import macro_average, trec_metrics
+
+    run_rows = []
+    for ln in open(args.run):
+        p = ln.split()
+        if not p or p[0].startswith("#"):
+            continue
+        run_rows.append((int(p[0]), int(p[3]), p[2]))
+    qrel_rows = []
+    for ln in open(args.qrels):
+        p = ln.split()
+        if p:
+            qrel_rows.append((int(p[0]), p[2], int(p[3])))
+    results = spark.createDataFrame(
+        run_rows, "query_id long, rank int, doc_no string"
+    )
+    qrels = spark.createDataFrame(
+        qrel_rows, "query_id long, doc_no string, rel int"
+    )
+    m = trec_metrics(results, qrels, k=args.k, id_col="doc_no")
+    for r in sorted(m.collect(), key=lambda r: r["query_id"]):
+        print(json.dumps(r.asDict()))
+    print(json.dumps(macro_average(m).collect()[0].asDict()))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pulse_spark")
     p.add_argument("--master", default=None, help="spark master (default: env/local)")
@@ -192,6 +226,13 @@ def main(argv=None) -> int:
                    help="serve without Spark (pyarrow + numpy over the "
                         "committed segments; reference-class latency)")
     s.set_defaults(fn=cmd_search)
+
+    e = sub.add_parser("eval", help="score a TREC run against qrels "
+                                    "(trec_eval analog)")
+    e.add_argument("--run", required=True, help="TREC run file")
+    e.add_argument("--qrels", required=True, help="TREC qrels file")
+    e.add_argument("-k", type=int, default=10)
+    e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
     return args.fn(args)

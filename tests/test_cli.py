@@ -36,3 +36,36 @@ def test_cli_build_and_search(spark, transcripts_path, tmp_path, capsys):
     rc = main(["search", "--index", out, "--query", "error", "--metric", "tfidf",
                "--conjunctive", "-k", "3"])
     assert rc == 0
+
+
+def test_cli_eval_trec_run(spark, tmp_path, capsys):
+    """search output piped to eval: the run of an engine against qrels
+    naming its own top docs scores P@1 = 1 (and '#' timing lines are
+    skipped by the parser)."""
+    from pulse_spark.cli import main
+
+    run = tmp_path / "run.txt"
+    run.write_text(
+        "1\tQ0\tdocA\t0\t2.5\tpulse_spark\n"
+        "1\tQ0\tdocB\t1\t1.5\tpulse_spark\n"
+        "#\t1\t12.3ms\t12300\n"
+        "2\tQ0\tdocC\t0\t3.0\tpulse_spark\n"
+    )
+    qrels = tmp_path / "qrels.txt"
+    qrels.write_text(
+        "1 0 docA 2\n"
+        "1 0 docZ 1\n"
+        "2 0 docC 1\n"
+    )
+    rc = main(["eval", "--run", str(run), "--qrels", str(qrels), "-k", "2"])
+    assert rc == 0
+    import json as _json
+
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    per_q = [_json.loads(ln) for ln in lines[:-1]]
+    macro = _json.loads(lines[-1])
+    assert macro["n_queries"] == 2
+    byq = {r["query_id"]: r for r in per_q}
+    assert byq[1]["p_at_2"] == 0.5 and byq[1]["recall_at_2"] == 0.5
+    assert byq[2]["p_at_2"] == 0.5 and byq[2]["recall_at_2"] == 1.0
+    assert byq[2]["ndcg_at_2"] == 1.0

@@ -134,3 +134,18 @@ def test_resume_skips_completed_stages(spark, spark_index, oracle_index):
     assert idx2.n_docs == spark_index.n_docs
     assert idx2.settings == spark_index.settings
     assert idx2.terms.count() == len(oracle_index.postings)
+
+
+def test_distributed_query_tokenizer_fallback(spark, spark_index):
+    """Query sets larger than max_driver_queries take the distributed
+    pandas-UDF tokenizer path — it must return exactly what the
+    driver-side path returns."""
+    queries = gen_queries()
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    a = search_topk(spark_index, qdf, k=10)
+    b = search_topk(spark_index, qdf, k=10, max_driver_queries=0)
+    rows_a = {(r["query_id"], r["rank"]): (r["doc_no"], round(r["score"], 9))
+              for r in a.collect()}
+    rows_b = {(r["query_id"], r["rank"]): (r["doc_no"], round(r["score"], 9))
+              for r in b.collect()}
+    assert rows_a == rows_b
