@@ -149,3 +149,49 @@ def test_distributed_query_tokenizer_fallback(spark, spark_index):
     rows_b = {(r["query_id"], r["rank"]): (r["doc_no"], round(r["score"], 9))
               for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_partial_resume_recomputes_only_missing_stages(spark, transcripts_path,
+                                                       settings, tmp_path):
+    """Kill the build after postings (simulated by deleting the terms and
+    stats stages + manifest entries): the re-run must recompute ONLY
+    those, leaving the committed docs/postings bytes untouched, and the
+    resumed index must serve identical results."""
+    import json
+    import os
+    import shutil
+
+    from pulse_spark.index.persist import build_persisted_index
+
+    out = str(tmp_path / "idx")
+    transcripts = spark.read.parquet(transcripts_path)
+    idx1 = build_persisted_index(spark, transcripts, out, settings)
+    terms1 = {r["term"]: (r["df"], r["max_tf"]) for r in idx1.terms.collect()}
+
+    # record committed file mtimes of the heavy stages
+    def mtimes(stage):
+        root = os.path.join(out, stage)
+        return {
+            os.path.relpath(os.path.join(r, f), root): os.path.getmtime(
+                os.path.join(r, f))
+            for r, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+        }
+
+    docs_m, post_m = mtimes("docs"), mtimes("postings")
+
+    # simulate the crash: terms + stats gone, manifest says so
+    shutil.rmtree(os.path.join(out, "terms"))
+    shutil.rmtree(os.path.join(out, "stats"))
+    with open(os.path.join(out, "manifest.json")) as f:
+        m = json.load(f)
+    del m["stages"]["terms"], m["stages"]["stats"]
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(m, f)
+
+    idx2 = build_persisted_index(spark, transcripts, out, settings)
+    assert mtimes("docs") == docs_m          # untouched
+    assert mtimes("postings") == post_m      # untouched
+    assert idx2.n_docs == idx1.n_docs
+    assert abs(idx2.adl - idx1.adl) < 1e-9
+    terms2 = {r["term"]: (r["df"], r["max_tf"]) for r in idx2.terms.collect()}
+    assert terms2 == terms1

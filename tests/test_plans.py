@@ -78,3 +78,44 @@ def test_no_cartesian_in_datapipe_scale_paths(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_layout_splits_hot_term(spark, tmp_path):
+    """North-rule salted repartition-by-term: with a term carrying ~25%
+    of all postings, the unsalted layout's biggest reducer task must be
+    ~salt_partitions times larger than the salted layout's — measured
+    from the manifest's per-file row lineage (the stage's critical path
+    at scale is its biggest task)."""
+    import json
+
+    from pulse_spark.index.persist import build_persisted_index
+
+    n = 20_000
+    hot = " ".join(["transformers"] * 5)
+    tr = spark.range(n, numPartitions=8).select(
+        F.col("id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit(hot + " "),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("tok"), (F.col("id") % 997).cast("string")),
+                F.concat(F.lit("word"), (F.col("id") % 401).cast("string")),
+                F.concat(F.lit("term"), (F.col("id") % 4099).cast("string")),
+            ),
+        ).alias("text"),
+    )
+
+    def max_task_rows(salt):
+        out = str(tmp_path / f"skew_{salt}")
+        build_persisted_index(
+            spark, tr, out,
+            IndexingSettings(term_buckets=8, store_text=False,
+                             salt_partitions=salt),
+        )
+        m = json.load(open(f"{out}/manifest.json"))
+        return max(m["stages"]["postings"]["partitions"].values())
+
+    unsalted, salted = max_task_rows(1), max_task_rows(4)
+    assert unsalted >= n  # the hot term concentrates in one task
+    assert salted * 2.5 <= unsalted, (unsalted, salted)
