@@ -170,12 +170,19 @@ def cmd_eval(args) -> int:
     spark = _spark(args)
     from pulse_spark.eval import macro_average, trec_metrics
 
-    run_rows = []
+    # trec_eval ignores the run file's rank column (conventions differ:
+    # 0- vs 1-based, or plain unreliable) and re-ranks by score — do the
+    # same: (score desc, doc_no asc) per query, 0-based
+    by_q: dict[int, list] = {}
     for ln in open(args.run):
         p = ln.split()
         if not p or p[0].startswith("#"):
             continue
-        run_rows.append((int(p[0]), int(p[3]), p[2]))
+        by_q.setdefault(int(p[0]), []).append((-float(p[4]), p[2]))
+    run_rows = []
+    for qid, lst in by_q.items():
+        lst.sort()
+        run_rows += [(qid, rank, docno) for rank, (_, docno) in enumerate(lst)]
     qrel_rows = []
     for ln in open(args.qrels):
         p = ln.split()

@@ -280,11 +280,15 @@ def near_dup_clusters(
             .agg(F.min("label").alias("label"))
             .persist()
         )
+        # full count (no limit): materializes EVERY partition of the
+        # persisted new_labels before the parent is unpersisted — a
+        # short-circuiting limit(1) probe would cache only the scanned
+        # partitions and force the next round to recompute the rest
+        # through the whole chain of previous rounds' shuffles
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
             .count()
         )
         labels.unpersist()

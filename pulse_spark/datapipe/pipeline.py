@@ -61,7 +61,9 @@ def corpus_filter(
 
 
 def kept_corpus(docs: DataFrame, id_col: str = "doc_id", **kw) -> DataFrame:
-    """The filtered corpus itself: source rows where keep — decisions
-    broadcast back onto the source scan so text moves once."""
+    """The filtered corpus itself: source rows where keep.  The keep-list
+    is most of the corpus (dedup+quality typically keep the majority), so
+    it must NOT be broadcast — a plain equi-join lets Spark shuffle both
+    sides on the id (or broadcast on its own if AQE sees it's small)."""
     keep = corpus_filter(docs, id_col, **kw).where("keep").select(id_col)
-    return docs.join(F.broadcast(keep), id_col)
+    return docs.join(keep, id_col)

@@ -295,7 +295,12 @@ def embedding_near_dup_pairs(
         F.col(id_col).cast("long").alias("vid"),
         _to_double(F.col(vec_col)).alias("v"),
     ).withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v")))).persist()
-    dim = len(e.select("v").first()["v"])
+    head = e.select("v").first()
+    if head is None:  # empty input: no pairs (and nothing to size planes by)
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(head["v"])
     bk = _banded_buckets(e, dim, bands, bits_per_band)
     if max_bucket_size is not None:
         ok = (

@@ -88,7 +88,10 @@ _SHARED: dict = {}
 
 
 def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "postings", sf_dir, settings.stemming)
+    # keyed on the FULL (frozen, hashable) settings — keying on a single
+    # field would hand back wrong postings for settings differing in any
+    # other field
+    key = (spark.sparkContext.applicationId, "postings", sf_dir, settings)
     if key not in _SHARED:
         p = postings_df(docs_with_len(spark, sf_dir), settings, id_col="doc_id")
         _SHARED[key] = p.withColumn("tf", F.col("tf").cast("long")).persist()
@@ -96,7 +99,7 @@ def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
 
 
 def _terms(spark, sf_dir, settings=SETTINGS) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "terms", sf_dir, settings.stemming)
+    key = (spark.sparkContext.applicationId, "terms", sf_dir, settings)
     if key not in _SHARED:
         _SHARED[key] = terms_df(_postings(spark, sf_dir, settings)).persist()
     return _SHARED[key]

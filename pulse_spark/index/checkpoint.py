@@ -135,8 +135,19 @@ def read_stage(spark: SparkSession, out_dir: str, stage: str) -> DataFrame:
 def check_settings(manifest: dict, settings: IndexingSettings) -> None:
     if manifest["settings"] is None:
         manifest["settings"] = settings.to_dict()
-    elif manifest["settings"] != settings.to_dict():
+        return
+    # forward-compatible comparison: a manifest written before a new
+    # settings field existed resumes under that field's DEFAULT (strict
+    # dict equality would refuse to resume every pre-upgrade index);
+    # unknown stored keys are ignored for the same reason.
+    import dataclasses
+
+    known = {f.name for f in dataclasses.fields(IndexingSettings)}
+    stored = IndexingSettings.from_dict(
+        {k: v for k, v in manifest["settings"].items() if k in known}
+    ).to_dict()
+    if stored != settings.to_dict():
         raise ValueError(
             "index at this path was built with different settings; "
-            f"manifest={manifest['settings']} requested={settings.to_dict()}"
+            f"manifest={stored} requested={settings.to_dict()}"
         )

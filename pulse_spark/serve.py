@@ -123,12 +123,16 @@ class PointServer:
                 new[terms_col[i]].append(self._decode(row))
             for t in missing:
                 self._block_cache[t] = new[t]
-            while len(self._block_cache) > self._cache_terms:
-                self._block_cache.popitem(last=False)
         out = {}
         for t in qterms:
             self._block_cache.move_to_end(t)
             out[t] = self._block_cache[t]
+        # evict AFTER touching the current query's terms (they sit at the
+        # MRU end), and never below the in-flight term count — a query
+        # wider than the cache must not evict its own terms mid-flight
+        floor = max(self._cache_terms, len(qterms))
+        while len(self._block_cache) > floor:
+            self._block_cache.popitem(last=False)
         return out
 
     # -- scoring ----------------------------------------------------------
@@ -169,6 +173,10 @@ class PointServer:
         blocks = self._blocks_for(qterms)
 
         acc = np.zeros(self.n_docs, dtype=np.float64)
+        # matched tracks MEMBERSHIP, not score: a universal term has
+        # idf = ln(1) = 0, and its zero-score matches still belong to the
+        # disjunctive candidate set in both Spark paths (rank-identity)
+        matched = np.zeros(self.n_docs, dtype=bool)
         hits = np.zeros(self.n_docs, dtype=np.int32) if conjunctive else None
         for term in qterms:
             idf = math.log(self.n_docs / self.df[term])
@@ -182,14 +190,14 @@ class PointServer:
                     part = 1 + np.log(tf)
                 idx = ids.astype(np.int64)
                 acc[idx] += w[term] * idf * part
+                matched[idx] = True
                 if hits is not None:
                     hits[idx] += 1
 
         if conjunctive:
-            mask = hits == len(qterms)
-            cand = np.nonzero(mask)[0]
+            cand = np.nonzero(hits == len(qterms))[0]
         else:
-            cand = np.nonzero(acc != 0.0)[0]
+            cand = np.nonzero(matched)[0]
         if cand.size == 0:
             return []
         scores = acc[cand]

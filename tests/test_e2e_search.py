@@ -195,3 +195,40 @@ def test_partial_resume_recomputes_only_missing_stages(spark, transcripts_path,
     assert abs(idx2.adl - idx1.adl) < 1e-9
     terms2 = {r["term"]: (r["df"], r["max_tf"]) for r in idx2.terms.collect()}
     assert terms2 == terms1
+
+
+def test_resume_tolerates_manifest_from_older_settings_schema(
+    spark, transcripts_path, settings, tmp_path
+):
+    """A manifest written before a new IndexingSettings field existed
+    must resume under that field's default (strict dict equality would
+    refuse every pre-upgrade index); unknown stored keys are ignored."""
+    import json
+    import os
+
+    from pulse_spark.index.persist import build_persisted_index
+
+    out = str(tmp_path / "idx")
+    transcripts = spark.read.parquet(transcripts_path)
+    idx1 = build_persisted_index(spark, transcripts, out, settings)
+
+    mp = os.path.join(out, "manifest.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["settings"]["store_text"]          # pre-upgrade manifest
+    m["settings"]["future_knob"] = 42        # post-upgrade manifest
+    with open(mp, "w") as f:
+        json.dump(m, f)
+
+    idx2 = build_persisted_index(spark, transcripts, out, settings)  # resumes
+    assert idx2.n_docs == idx1.n_docs
+
+    import pytest as _p
+
+    from pulse_spark.config import IndexingSettings as _S
+
+    with _p.raises(ValueError):  # REAL mismatches still refuse
+        build_persisted_index(
+            spark, transcripts, out,
+            _S(stopwords_removal=False, stemming=True, term_buckets=8),
+        )

@@ -105,3 +105,45 @@ def test_sidecar_is_fast(served_index):
         lat.append(time.perf_counter() - t0)
     lat.sort()
     assert lat[len(lat) // 2] < 0.25, lat
+
+
+def test_sidecar_universal_term_and_tiny_cache(spark, tmp_path):
+    """(a) A term present in EVERY doc has idf = ln(1) = 0; its zero-score
+    matches still belong to the disjunctive candidate set (parity with
+    the Spark paths).  (b) A cache smaller than the query's term count
+    must not evict the in-flight query's own terms (KeyError regression)."""
+    from pyspark.sql import functions as F
+
+    from pulse_spark.index.persist import build_persisted_index
+
+    rows = [(i, f"ubiq filler{i} other{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tr = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"), "text",
+    )
+    out = str(tmp_path / "uidx")
+    idx = build_persisted_index(
+        spark, tr, out,
+        IndexingSettings(stopwords_removal=False, stemming=False,
+                         term_buckets=4),
+        build_segments=True,
+    )
+    srv = PointServer(out, cache_terms=1)  # pathologically small cache
+
+    # universal term alone: all 12 docs match at score 0.0; top-10 by
+    # (score desc, doc_id asc) = internal ids 0..9
+    res = srv.search("ubiq", k=10)
+    assert len(res) == 10
+    assert all(r.score == 0.0 for r in res)
+    exact = search_topk(
+        idx, spark.createDataFrame([(1, "ubiq")], "query_id long, text string"),
+        k=10,
+    ).collect()
+    assert {r.doc_no for r in res} == {r["doc_no"] for r in exact}
+
+    # multi-term query through the 1-entry cache: no crash, sane result,
+    # and a repeat (cache-hit path) returns the same thing
+    r1 = [(r.doc_no, round(r.score, 9)) for r in srv.search("ubiq other0 filler3", k=5)]
+    r2 = [(r.doc_no, round(r.score, 9)) for r in srv.search("ubiq other0 filler3", k=5)]
+    assert r1 and r1 == r2
