@@ -81,16 +81,23 @@ def _encode_block(term, rng, ids, tfs, lens, adl, compress):
     }
 
 
-def decode_block(row, compress: bool):
+def decode_payload(ids_bin: bytes, tfs_bin: bytes, lens_bin: bytes, compress: bool):
     """-> (doc_ids u64, tfs u64, doc_lens u64) numpy arrays."""
     if compress:
-        ids = delta_varint_decode(bytes(row["doc_ids_bin"]))
-        tfs = unary_decode(bytes(row["tfs_bin"]), minimum=1)
+        ids = delta_varint_decode(bytes(ids_bin))
+        tfs = unary_decode(bytes(tfs_bin), minimum=1)
     else:
-        ids = np.frombuffer(bytes(row["doc_ids_bin"]), dtype="<u4").astype(np.uint64)
-        tfs = np.frombuffer(bytes(row["tfs_bin"]), dtype="<u4").astype(np.uint64)
-    lens = np.frombuffer(bytes(row["doc_lens_bin"]), dtype="<u4").astype(np.uint64)
+        ids = np.frombuffer(bytes(ids_bin), dtype="<u4").astype(np.uint64)
+        tfs = np.frombuffer(bytes(tfs_bin), dtype="<u4").astype(np.uint64)
+    lens = np.frombuffer(bytes(lens_bin), dtype="<u4").astype(np.uint64)
     return ids, tfs, lens
+
+
+def decode_block(row, compress: bool):
+    """-> (doc_ids u64, tfs u64, doc_lens u64) numpy arrays."""
+    return decode_payload(
+        row["doc_ids_bin"], row["tfs_bin"], row["doc_lens_bin"], compress
+    )
 
 
 def build_segments(
@@ -225,81 +232,109 @@ def search_segments(
         T.StructField("score", T.DoubleType()),
     ])
 
+    range_size = int(manifest["stages"]["segments"]["range_size"])
+
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Dense range-local numpy accumulation (serve.py:175-195 pattern):
+        # acc[doc_id - base] += score — no per-posting Python loop anywhere
+        # on the posting-volume path.  Memory: the dense arrays cover the
+        # doc ids actually present in this range (≤ range_size entries ×
+        # 13 B), bounded by construction — at larger corpora n_ranges
+        # grows with the corpus so range_size (and the accumulator) stays
+        # fixed per task.
         qid = int(pdf["query_id"].iloc[0])
-        # group blocks by term
-        terms: dict[str, dict] = {}
-        for _, row in pdf.iterrows():
-            t = row["term"]
-            e = terms.setdefault(
-                t,
-                {"df": int(row["df"]), "w": int(row["w"]), "blocks": [],
-                 "max_part": 0.0},
-            )
-            e["blocks"].append(row)
-            e["max_part"] = max(e["max_part"], float(row["max_part"]))
+        base = int(pdf["doc_range"].iloc[0]) * range_size
+
+        df_col = pdf["df"].to_numpy()
+        w_col = pdf["w"].to_numpy()
+        mp_col = pdf["max_part"].to_numpy()
+        mt_col = pdf["max_tf"].to_numpy()
+        lo_col = pdf["min_doc_id"].to_numpy()
+        hi_col = pdf["max_doc_id"].to_numpy()
+        ids_bins = pdf["doc_ids_bin"].tolist()
+        tfs_bins = pdf["tfs_bin"].tolist()
+        lens_bins = pdf["doc_lens_bin"].tolist()
+
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(pdf["term"].tolist()):
+            by_term.setdefault(t, []).append(i)
 
         infos = []
-        for t, e in terms.items():
-            idf = math.log(n / e["df"])
+        for t, rows in by_term.items():
+            idf = math.log(n / int(df_col[rows[0]]))
+            wgt = int(w_col[rows[0]])
             if use_bm25:
-                upper = e["w"] * idf * e["max_part"]
+                upper = wgt * idf * float(mp_col[rows].max())
             else:
-                upper = e["w"] * (1 + math.log(max(int(b["max_tf"]) for b in e["blocks"]))) * idf
-            infos.append((t, e, idf, upper))
+                upper = wgt * (1 + math.log(int(mt_col[rows].max()))) * idf
+            infos.append((rows, wgt, idf, upper))
         infos.sort(key=lambda x: -x[3])
         suffix = np.cumsum([u for *_, u in infos][::-1])[::-1]
 
-        acc: dict[int, float] = {}
-        seen_terms: dict[int, int] = {}
-        for i, (t, e, idf, upper) in enumerate(infos):
+        size = int(hi_col.max()) - base + 1
+        acc = np.zeros(size, dtype=np.float64)
+        # matched = MEMBERSHIP (zero-score postings of idf=0 terms still
+        # belong to the disjunctive candidate set — rank-identity)
+        matched = np.zeros(size, dtype=bool)
+        hits = np.zeros(size, dtype=np.int32) if conjunctive else None
+        n_matched = 0
+        for i, (rows, wgt, idf, upper) in enumerate(infos):
             remaining = suffix[i]
-            kth = (
-                sorted(acc.values(), reverse=True)[k - 1]
-                if len(acc) >= k else -math.inf
+            kth = -math.inf
+            if n_matched >= k:
+                kth = -np.partition(-acc[matched], k - 1)[k - 1]
+            only_existing = (
+                (not conjunctive) and n_matched >= k and remaining < kth - 1e-9
             )
-            only_existing = (not conjunctive) and len(acc) >= k and remaining < kth - 1e-9
-            cand = None
             if only_existing:
-                cand = np.fromiter(acc.keys(), dtype=np.uint64)
-                lo, hi = int(cand.min()), int(cand.max())
-            for row in e["blocks"]:
-                if only_existing:
-                    # block-level skip: cannot intersect candidates
-                    if row["max_doc_id"] < lo or row["min_doc_id"] > hi:
-                        continue
-                ids, tfs, lens = decode_block(row, compress)
+                nz = np.nonzero(matched)[0]
+                lo, hi = int(nz[0]) + base, int(nz[-1]) + base
+            for ri in rows:
+                if only_existing and (hi_col[ri] < lo or lo_col[ri] > hi):
+                    continue  # block-level skip: cannot intersect candidates
+                ids, tfs, lens = decode_payload(
+                    ids_bins[ri], tfs_bins[ri], lens_bins[ri], compress
+                )
                 if use_bm25:
                     part = tfs / (
                         BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / adl)) + tfs
                     )
-                    sc = e["w"] * idf * part
+                    sc = wgt * idf * part
                 else:
-                    sc = e["w"] * (1 + np.log(tfs.astype(np.float64))) * idf
+                    sc = wgt * (1 + np.log(tfs.astype(np.float64))) * idf
+                idx = ids.astype(np.int64) - base
                 if only_existing:
-                    mask = np.isin(ids, cand)
-                    ids, sc = ids[mask], sc[mask]
-                for d, s in zip(ids.tolist(), sc.tolist()):
-                    acc[d] = acc.get(d, 0.0) + s
+                    m = matched[idx]
+                    acc[idx[m]] += sc[m]
+                else:
+                    acc[idx] += sc
+                    new = ~matched[idx]
+                    n_matched += int(np.count_nonzero(new))
+                    matched[idx] = True
                     if conjunctive:
-                        # conjunctive never prunes (only_existing False),
-                        # so every posting passes through here exactly once
-                        # per term — count distinct-term hits inline
-                        seen_terms[d] = seen_terms.get(d, 0) + 1
+                        # conjunctive never prunes (only_existing False), so
+                        # every posting passes here once per term — a doc's
+                        # hit count is its distinct-term count
+                        hits[idx] += 1
 
         if conjunctive:
-            req = n_req.get(qid, 0)
-            acc = {d: s for d, s in acc.items() if seen_terms.get(d, 0) >= req}
-
-        if not acc:
+            cand = np.nonzero(hits >= n_req.get(qid, 0))[0]
+        else:
+            cand = np.nonzero(matched)[0]
+        if cand.size == 0:
             return pd.DataFrame(columns=["query_id", "doc_id", "score"]).astype(
                 {"query_id": "int64", "doc_id": "int64", "score": "float64"}
             )
-        items = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        scores = acc[cand]
+        if cand.size > k:
+            kth = -np.partition(-scores, k - 1)[k - 1]
+            keep = scores >= kth  # ties widen; doc_id tiebreak below
+            cand, scores = cand[keep], scores[keep]
+        order = np.lexsort((cand, -scores))[:k]
         return pd.DataFrame({
-            "query_id": [qid] * len(items),
-            "doc_id": [int(d) for d, _ in items],
-            "score": [s for _, s in items],
+            "query_id": np.full(len(order), qid, dtype=np.int64),
+            "doc_id": cand[order] + base,
+            "score": scores[order],
         })
 
     local = joined.groupBy("query_id", "doc_range").applyInPandas(
