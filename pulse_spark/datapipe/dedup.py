@@ -295,6 +295,16 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never silently return non-converged labels: downstream
+        # corpus_filter would keep non-canonical duplicates with no signal
+        edges.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iter; raise max_iter (propagation needs one round "
+            "per hop of the widest chain)"
+        )
     edges.unpersist()
     return labels.select(
         F.col("node").cast("long").alias(id_col),

@@ -16,7 +16,10 @@ Metrics per query at cutoff k:
   recall_at_k |top-k ∩ relevant| / |relevant|
   ndcg_at_k   Σ (2^rel-1)/log2(rank+2) over top-k, normalized by the
               ideal DCG of the query's best-possible top-k
-  ap_at_k     Σ_i P@i·rel_i / min(|relevant|, k)   (MAP when averaged)
+  ap_at_k     Σ_i P@i·rel_i / |relevant|   (MAP when averaged; trec_eval
+              divides by the TOTAL relevant count, not min(R, k) — a
+              query with more relevant docs than k can therefore never
+              reach AP 1.0 at that cutoff, exactly like trec_eval)
 """
 
 from __future__ import annotations
@@ -91,7 +94,7 @@ def trec_metrics(
             ).alias(f"ndcg_at_{k}"),
             F.round(
                 F.coalesce(F.col("ap_num"), F.lit(0.0))
-                / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+                / F.col("n_rel").cast("double"),
                 6,
             ).alias(f"ap_at_{k}"),
         )

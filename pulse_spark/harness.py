@@ -83,11 +83,29 @@ def docs_with_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 # term_tf/term_df) all consume the same postings — without this each
 # query re-tokenized the corpus 2-3x (terms_df pass + scoring pass).
 # Keyed on applicationId so a new SparkSession never sees a persisted
-# DataFrame from a dead one.
+# DataFrame from a dead one; entries of DEAD sessions are evicted on
+# every access (long-lived driver processes would otherwise accumulate
+# one generation of persisted plans + temp index dirs per session).
 _SHARED: dict = {}
 
 
+def _evict_stale(spark) -> str:
+    """Drop _SHARED entries whose applicationId no longer matches the
+    live SparkContext; reclaim their temp index dirs immediately (each
+    dir is also atexit-registered as a backstop). Returns the live id."""
+    import shutil
+
+    app = spark.sparkContext.applicationId
+    for key in [k for k in _SHARED if k[0] != app]:
+        v = _SHARED.pop(key)
+        out_dir = getattr(v, "out_dir", None)
+        if key[1] == "segidx" and out_dir:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return app
+
+
 def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
+    _evict_stale(spark)
     # keyed on the FULL (frozen, hashable) settings — keying on a single
     # field would hand back wrong postings for settings differing in any
     # other field
@@ -99,14 +117,14 @@ def _postings(spark, sf_dir, settings=SETTINGS) -> DataFrame:
 
 
 def _terms(spark, sf_dir, settings=SETTINGS) -> DataFrame:
-    key = (spark.sparkContext.applicationId, "terms", sf_dir, settings)
+    key = (_evict_stale(spark), "terms", sf_dir, settings)
     if key not in _SHARED:
         _SHARED[key] = terms_df(_postings(spark, sf_dir, settings)).persist()
     return _SHARED[key]
 
 
 def _stats(spark, sf_dir) -> tuple[int, float]:
-    key = (spark.sparkContext.applicationId, "stats", sf_dir)
+    key = (_evict_stale(spark), "stats", sf_dir)
     if key not in _SHARED:
         r = docs_with_len(spark, sf_dir).agg(
             F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
@@ -300,13 +318,16 @@ def q_bm25_stemmed_topk(spark, sf_dir):
 def _segments_index(spark, sf_dir):
     """Session-cached committed segments index over the sf documents
     table wrapped as single-turn transcripts (conv_id = doc_id)."""
+    import atexit
+    import shutil
     import tempfile
 
     from pulse_spark.index.persist import build_persisted_index
 
-    key = (spark.sparkContext.applicationId, "segidx", sf_dir)
+    key = (_evict_stale(spark), "segidx", sf_dir)
     if key not in _SHARED:
         out = tempfile.mkdtemp(prefix="pulse_seg_idx_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
         transcripts = load_documents(spark, sf_dir).select(
             F.col("doc_id").cast("string").alias("conv_id"),
             F.lit(0).cast("int").alias("turn_idx"),
@@ -391,7 +412,7 @@ def q_bm25_sidecar_topk(spark, sf_dir):
     idx = _segments_index(spark, sf_dir)
     from pulse_spark.serve import PointServer
 
-    key = (spark.sparkContext.applicationId, "sidecar", sf_dir)
+    key = (_evict_stale(spark), "sidecar", sf_dir)
     if key not in _SHARED:
         _SHARED[key] = PointServer(idx.out_dir)
     srv = _SHARED[key]
@@ -508,7 +529,7 @@ SELECT CAST(t.query_id AS BIGINT) AS query_id,
        round(coalesce(p.n_hit, 0) / {K}.0, 6) AS p_at_{K},
        round(coalesce(p.n_hit, 0) / CAST(t.n_rel AS DOUBLE), 6) AS recall_at_{K},
        round(coalesce(p.dcg, 0) / i.idcg, 6) AS ndcg_at_{K},
-       round(coalesce(p.ap_num, 0) / CAST(least(t.n_rel, {K}) AS DOUBLE), 6) AS ap_at_{K}
+       round(coalesce(p.ap_num, 0) / CAST(t.n_rel AS DOUBLE), 6) AS ap_at_{K}
 FROM tot t
 JOIN ideal i ON i.query_id = t.query_id
 LEFT JOIN perq p ON p.query_id = t.query_id

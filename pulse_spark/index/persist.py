@@ -33,6 +33,18 @@ from pulse_spark.index import build as B
 from pulse_spark.index import checkpoint as ckpt
 
 
+def _fingerprint_metrics():
+    """Order-independent input checksum columns: row count + bit-xor of
+    a per-row hash over (conv_id, turn_idx, doc_len).  bit_xor (not sum)
+    — sum(xxhash64) overflows under ANSI mode; xor is also insensitive
+    to row order, which Observation metrics arrive in nondeterministic-
+    ally."""
+    return (
+        F.count(F.lit(1)).alias("fp_rows"),
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "doc_len")).alias("fp_xor"),
+    )
+
+
 @dataclass
 class Index:
     out_dir: str
@@ -101,18 +113,18 @@ def build_persisted_index(
         if assign_ids:
             meta_cols.append("doc_id")
         d_write = d_full.select(*meta_cols)
-        if do_stats:
-            # stats (N, ADL) ride the docs WRITE as accumulator metrics —
-            # zero extra jobs, zero extra scans (spimi's running mean,
-            # stats.go:19-23, as an Observation)
-            from pyspark.sql import Observation
+        # stats (N, ADL) + the INPUT FINGERPRINT ride the docs WRITE as
+        # accumulator metrics — zero extra jobs, zero extra scans
+        # (spimi's running mean, stats.go:19-23, as an Observation)
+        from pyspark.sql import Observation
 
-            obs = Observation("corpus_stats")
-            d_write = d_write.observe(
-                obs,
-                F.count(F.lit(1)).alias("n_docs"),
-                F.avg("doc_len").alias("adl"),
-            )
+        obs = Observation("corpus_stats")
+        d_write = d_write.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("adl"),
+            *_fingerprint_metrics(),
+        )
         docs = ckpt.commit_stage(out_dir, manifest, "docs", d_write)
     else:
         docs = ckpt.read_stage(spark, out_dir, "docs")
@@ -124,7 +136,18 @@ def build_persisted_index(
         # makes obs.get block behind thousands of queued task events
         # (measured: 14-25 s stall for a 1-row result)
         m = obs.get
-        stats_vals = (int(m["n_docs"]), float(m["adl"]))
+        if do_stats:
+            stats_vals = (int(m["n_docs"]), float(m["adl"]))
+        # the fingerprint (rows + order-independent key/len checksum) is
+        # what a resumed postings build must match: postings recompute
+        # their rows from the SOURCE, not the committed docs stage, so a
+        # source that changed between run and resume would silently give
+        # the committed docs and the resumed postings diverging doc_ids
+        manifest["input_fingerprint"] = {
+            "rows": int(m["fp_rows"]),
+            "xor": int(m["fp_xor"]) if m["fp_xor"] is not None else 0,
+        }
+        ckpt.save_manifest(out_dir, manifest)
 
     # stage: postings, hash-bucketed by term, term-sorted within files
     if do_postings:
@@ -134,7 +157,22 @@ def build_persisted_index(
         # at output time from the docs table): at 10^12 turns the doc_no
         # string would dominate shuffle/storage bytes.
         id_col = "doc_id" if assign_ids else "doc_no"
-        p = B.postings_df(d_full, settings, id_col=id_col)
+        # RESUME GUARD: when the docs stage is committed but postings are
+        # not, the postings rows are recomputed from the source — observe
+        # the recomputed per-doc plan and refuse to record the stage if
+        # its fingerprint doesn't match the committed docs stage's (the
+        # source changed, or duplicate (conv_id, turn_idx) keys made the
+        # doc_id assignment order ambiguous).  The check rides the
+        # postings write: no extra scan.
+        fp_obs = None
+        expected_fp = manifest.get("input_fingerprint") if not do_docs else None
+        d_postings_src = d_full
+        if expected_fp is not None:
+            from pyspark.sql import Observation
+
+            fp_obs = Observation("resume_fp")
+            d_postings_src = d_full.observe(fp_obs, *_fingerprint_metrics())
+        p = B.postings_df(d_postings_src, settings, id_col=id_col)
         p = B.with_term_bucket(p, settings.term_buckets)
         # SALTED repartition (north rule): a bare repartition("bucket")
         # sends a hot term's millions of postings to ONE task — the stage
@@ -149,11 +187,29 @@ def build_persisted_index(
             p = p.repartition(settings.term_buckets * n_salt, "bucket", salt)
         else:
             p = p.repartition(settings.term_buckets, "bucket")
-        postings = ckpt.commit_stage(
-            out_dir, manifest, "postings", p,
+        # write first, verify the fingerprint, THEN record: on mismatch
+        # the stage is never marked committed (the partial files are
+        # overwritten by the next attempt)
+        wall = ckpt.write_stage(
+            p, out_dir, "postings",
             partition_by=["bucket"],
             sort_within=["term", "doc_id"] if assign_ids else ["term", "doc_no"],
         )
+        if fp_obs is not None:
+            m = fp_obs.get
+            got = {
+                "rows": int(m["fp_rows"]),
+                "xor": int(m["fp_xor"]) if m["fp_xor"] is not None else 0,
+            }
+            if got != expected_fp:
+                raise ValueError(
+                    "resume refused: the input no longer matches the "
+                    f"committed docs stage (expected {expected_fp}, "
+                    f"recomputed {got}) — the resumed postings' doc_ids "
+                    "would silently diverge from the committed docs "
+                    "table; rebuild into a fresh out_dir"
+                )
+        postings = ckpt.record_stage(spark, out_dir, manifest, "postings", wall)
     else:
         postings = ckpt.read_stage(spark, out_dir, "postings")
     if cached is not None:

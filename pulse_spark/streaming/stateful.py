@@ -69,7 +69,12 @@ def make_sessionizer(gap_min: int = SESSION_GAP_MIN):
                 out.append((int(key[0]), _fmt(start), int(n), round(s, 6)))
                 start, last, n, s = t, t, 1, float(val)
             else:
-                last = t
+                # out-of-order ACROSS micro-batches (rows within a batch
+                # are sorted above): an event with t < last folds into the
+                # open session without moving its start forward or its
+                # watermark backwards
+                start = min(start, t)
+                last = max(last, t)
                 n += 1
                 s += float(val)
         state.update((float(start), float(last), int(n), float(s)))

@@ -232,3 +232,45 @@ def test_resume_tolerates_manifest_from_older_settings_schema(
             spark, transcripts, out,
             _S(stopwords_removal=False, stemming=True, term_buckets=8),
         )
+
+
+def test_resume_refuses_changed_input(spark, transcripts_path, settings, tmp_path):
+    """A resume whose recomputed input no longer matches the committed
+    docs stage's fingerprint must fail loudly (the resumed postings'
+    doc_ids would silently diverge from the committed docs table);
+    resuming over the UNCHANGED input must still work."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "idx")
+    transcripts = spark.read.parquet(transcripts_path)
+    idx1 = build_persisted_index(spark, transcripts, out, settings)
+    t1 = {r["term"]: (r["df"], r["max_tf"]) for r in idx1.terms.collect()}
+
+    def crash_after_docs():
+        for stage in ("postings", "terms", "stats"):
+            shutil.rmtree(os.path.join(out, stage))
+        mp = os.path.join(out, "manifest.json")
+        with open(mp) as f:
+            m = json.load(f)
+        assert m["input_fingerprint"]["rows"] == idx1.n_docs
+        for stage in ("postings", "terms", "stats"):
+            del m["stages"][stage]
+        with open(mp, "w") as f:
+            json.dump(m, f)
+
+    crash_after_docs()
+    drifted = transcripts.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" drifted"))
+    )
+    with pytest.raises(ValueError, match="resume refused"):
+        build_persisted_index(spark, drifted, out, settings)
+
+    # the failed attempt recorded nothing: the unchanged input resumes
+    idx2 = build_persisted_index(spark, transcripts, out, settings)
+    assert idx2.n_docs == idx1.n_docs
+    t2 = {r["term"]: (r["df"], r["max_tf"]) for r in idx2.terms.collect()}
+    assert t2 == t1

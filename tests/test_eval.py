@@ -24,7 +24,7 @@ def test_trec_metrics_hand_case(spark):
     dcg = 3 / math.log2(2) + 1 / math.log2(4)      # ranks 0 and 2
     idcg = 3 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
     assert math.isclose(m["ndcg_at_4"], dcg / idcg, abs_tol=1e-6)
-    ap = (1 / 1 + 2 / 3) / min(3, 4)               # P@1*1 + P@3*1 over n_rel
+    ap = (1 / 1 + 2 / 3) / 3                       # P@1*1 + P@3*1 over n_rel
     assert math.isclose(m["ap_at_4"], ap, abs_tol=1e-6)
 
     avg = macro_average(trec_metrics(results, qrels, k=4)).collect()[0]
@@ -65,3 +65,18 @@ def test_engine_perfect_against_own_labels(spark):
     for q in answered:
         assert m[q]["p_at_3"] == 1.0, (q, m[q])
         assert m[q]["ndcg_at_3"] == 1.0, (q, m[q])
+
+
+def test_ap_denominator_is_total_relevant(spark):
+    """trec_eval parity: MAP divides by the TOTAL relevant count, not
+    min(R, k) — with 3 relevant docs and k=2, two perfect hits give
+    AP@2 = (1 + 1) / 3, not 1.0."""
+    results = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11)], "query_id long, rank int, doc_id long"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (1, 12, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    m = trec_metrics(results, qrels, k=2).collect()[0]
+    assert math.isclose(m["ap_at_2"], 2 / 3, abs_tol=1e-6)

@@ -177,3 +177,52 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == 3  # u1 x2 closed + u2 x1 closed
+
+
+def test_stateful_sessionizer_out_of_order_across_batches():
+    """An event older than the open session's watermark (possible across
+    micro-batches) folds into the session without moving `last` backwards
+    or leaving `start` after the event (ADVICE round 2)."""
+    import pandas as pd
+
+    from pulse_spark.streaming.stateful import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_sessionizer(gap_min=30)
+    state = FakeState()
+    base = pd.Timestamp("2026-01-01 12:00:00")
+
+    def batch(rows):
+        return pd.DataFrame(
+            {"ts": [base + pd.Timedelta(minutes=m) for m, _ in rows],
+             "value": [v for _, v in rows],
+             "event_id": range(len(rows))}
+        )
+
+    # batch 1: events at t+0 and t+10 open a session
+    list(fn((7,), iter([batch([(0, 1.0), (10, 1.0)])]), state))
+    start1, last1, n1, _ = state.get
+    # batch 2: a LATE event at t+5 (before the watermark) arrives
+    list(fn((7,), iter([batch([(5, 1.0)])]), state))
+    start2, last2, n2, _ = state.get
+    assert n2 == 3                      # folded, not a new session
+    assert last2 == last1               # watermark never moves backwards
+    assert start2 == start1             # session start unchanged (t+0 < t+5)
+    # batch 3: event at t+45 (gap 35 min from t+10) closes the session
+    out = list(fn((7,), iter([batch([(45, 1.0)])]), state))
+    closed = pd.concat(out)
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_events"] == 3
+    assert closed.iloc[0]["session_start"] == "2026-01-01 12:00:00"
