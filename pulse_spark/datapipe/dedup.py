@@ -122,6 +122,11 @@ def minhash_lsh_pairs(
 
     bk = lsh_bucket_keys(minhash_signatures(sh, id_col), id_col)
     if max_bucket_size is not None:
+        # persisted because the cap consumes bk TWICE (bucket-size agg +
+        # capped join) — unpersisted, the signature groupBy and band
+        # expansion would run twice end-to-end (measured +25% on the
+        # whole-pair bench in round 2)
+        bk = bk.persist()
         ok = (
             bk.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -205,36 +210,36 @@ def ngram_jaccard_pairs(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens weighted by tf.
 
-    Per Arrow batch: md5(token) -> 64 ±1 bit-votes (memoized on distinct
-    tokens — Zipf text repeats tokens heavily); per-doc accumulation and
-    the sign→uint64 pack are numpy (np.packbits); only the per-doc token
-    loop is Python."""
+    Fully vectorized per Arrow batch: factorize the batch's token
+    occurrences, md5 only the DISTINCT tokens into a (V, 64) ±1 bit-vote
+    matrix, then accumulate every occurrence's votes into a (docs, 64)
+    matrix with one unbuffered scatter-add (np.add.at) and pack the signs
+    with np.packbits — no per-token or per-doc Python loop on the
+    occurrence volume; the only Python loop is md5 over the batch's
+    distinct vocabulary (Zipf text keeps V << occurrences)."""
     import hashlib
 
-    memo: dict[str, np.ndarray] = {}
-
-    def tok_bits(t: str) -> np.ndarray:
-        v = memo.get(t)
-        if v is None:
-            h = hashlib.md5(t.encode()).digest()[:8]
-            bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
-            v = bits.astype(np.int64) * 2 - 1  # ±1
-            memo[t] = v
-        return v
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, s in enumerate(texts):
-        if not s:
-            continue
-        toks = s.lower().split()
-        if not toks:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            acc += tok_bits(t)
-        packed = np.packbits((acc > 0)).tobytes()  # MSB-first, 8 bytes
-        out[i] = np.frombuffer(packed, dtype=">i8")[0]
-    return pd.Series(out)
+    n = len(texts)
+    tok_lists = [s.lower().split() if s else [] for s in texts]
+    counts = [len(t) for t in tok_lists]
+    if not any(counts):
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    occ = np.asarray(
+        [t for toks in tok_lists for t in toks], dtype=object
+    )
+    codes, uniq = pd.factorize(occ)
+    bits = np.empty((len(uniq), 64), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        h = hashlib.md5(t.encode()).digest()[:8]
+        bits[i] = (
+            np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int64)
+            * 2 - 1
+        )
+    acc = np.zeros((n, 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), counts)
+    np.add.at(acc, doc_idx, bits[codes])
+    packed = np.packbits(acc > 0, axis=1)  # MSB-first, (n, 8) bytes
+    return pd.Series(np.ascontiguousarray(packed).view(">i8").ravel().astype(np.int64))
 
 
 def simhash_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -102,6 +102,22 @@ def lsh_buckets(
     )
 
 
+# auto-bits sizing cache: keyed on (applicationId, semantic plan hash) so
+# repeated calls over the same input don't re-run a full-scan count job
+# per query invocation; a new session (or a different input plan) misses.
+_COUNT_CACHE: dict = {}
+
+
+def _corpus_count(df: DataFrame) -> int:
+    app = df.sparkSession.sparkContext.applicationId
+    for k in [k for k in _COUNT_CACHE if k[0] != app]:
+        del _COUNT_CACHE[k]
+    key = (app, df.semanticHash())
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = df.count()
+    return _COUNT_CACHE[key]
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -125,7 +141,7 @@ def lsh_cosine_topk(
     if bits is None:
         import math as _m
 
-        n = embeddings.count()
+        n = _corpus_count(embeddings)
         bits = max(1, int(_m.log2(max(n / 64.0, 2.0))))
     bk = lsh_buckets(embeddings, dim, bits, id_col, vec_col)
     e = embeddings.select(
@@ -204,7 +220,7 @@ def ivf_cosine_topk(
     # on a few hundred points per cell anyway.  Small corpora (n <= cap)
     # fit on everything — behavior (and pinned recall) unchanged there.
     sample_cap = 256 * n_cells
-    n = embeddings.count()
+    n = _corpus_count(embeddings)
     fit_src = e if n <= sample_cap else e.sample(fraction=sample_cap / n, seed=seed)
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
     model = km.fit(fit_src)
