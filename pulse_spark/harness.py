@@ -438,6 +438,40 @@ def q_bm25_sidecar_topk(spark, sf_dir):
     )
 
 
+def q_bm25_sharded_topk(spark, sf_dir):
+    """Horizontal serving path under the SAME oracle: a 2-shard
+    ShardedServer (one PointServer per doc_range slice, concat + global
+    top-k merge — serve.py's fleet design) must match the relational
+    BM25 plan value-for-value, proving the shard merge loses nothing."""
+    idx = _segments_index(spark, sf_dir)
+    from pulse_spark.serve import ShardedServer
+
+    key = (_evict_stale(spark), "sharded", sf_dir)
+    if key not in _SHARED:
+        _SHARED[key] = ShardedServer(idx.out_dir, n_shards=2)
+    srv = _SHARED[key]
+    rows = []  # conv_id string == external doc_id (single-turn wrap)
+    for qid, text in HARNESS_QUERIES:
+        for r in srv.search(text, k=K + 20, metric="BM25", query_id=qid):
+            ext = int(r.doc_no.split(":")[0])
+            rows.append((qid, ext, r.score))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, rank long, score double"
+        )
+    df = spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        df.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < K)
+        .select("query_id", "doc_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary
 
 
@@ -464,6 +498,7 @@ FULLTEXT_QUERIES = {
     "bm25_stemmed_topk": q_bm25_stemmed_topk,
     "bm25_segments_topk": q_bm25_segments_topk,
     "bm25_sidecar_topk": q_bm25_sidecar_topk,
+    "bm25_sharded_topk": q_bm25_sharded_topk,
     "retrieval_quality": q_retrieval_quality,
     "phrase_match": q_phrase_match,
 }
@@ -567,6 +602,9 @@ SELECT term, df, max_tf FROM df
     "bm25_segments_topk": _topk_sql("BM25", conjunctive=False),
     # the no-Spark serving path must agree with the SAME relational oracle
     "bm25_sidecar_topk": _topk_sql("BM25", conjunctive=False),
+    # ...and so must the 2-shard fleet merge (shard-partition + top-k
+    # merge lose nothing)
+    "bm25_sharded_topk": _topk_sql("BM25", conjunctive=False),
     "retrieval_quality": _quality_oracle_sql(),
     "phrase_match": _phrase_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)

@@ -57,7 +57,14 @@ class PointServer:
     time)."""
 
     def __init__(self, out_dir: str, load_doc_nos: bool = True,
-                 cache_terms: int = 4096):
+                 cache_terms: int = 4096,
+                 doc_ranges: "set[int] | None" = None,
+                 doc_nos: "np.ndarray | None" = None):
+        """doc_ranges: serve only these doc_range partitions of the index
+        (a SHARD — see ShardedServer); None = the whole index.
+        doc_nos: pre-loaded doc_id -> doc_no array to share across shard
+        servers in one process (each shard would otherwise load its own
+        full copy)."""
         import json
 
         import pyarrow.dataset as ds
@@ -71,6 +78,7 @@ class PointServer:
                 "(build with build_segments=True)"
             )
         self.out_dir = out_dir
+        self.doc_ranges = set(doc_ranges) if doc_ranges is not None else None
         self.settings = IndexingSettings.from_dict(manifest["settings"])
 
         stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
@@ -81,7 +89,9 @@ class PointServer:
         self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
         self.doc_nos: np.ndarray | None = None
-        if load_doc_nos:
+        if doc_nos is not None:
+            self.doc_nos = doc_nos
+        elif load_doc_nos:
             d = pq.read_table(
                 os.path.join(out_dir, "docs"), columns=["doc_id", "doc_no"]
             )
@@ -113,9 +123,12 @@ class PointServer:
 
         missing = [t for t in qterms if t not in self._block_cache]
         if missing:
-            tbl = self._seg.to_table(
-                filter=ds.field("term").isin(missing), columns=self._seg_cols
-            )
+            flt = ds.field("term").isin(missing)
+            if self.doc_ranges is not None:
+                # shard pruning: partition-level, so a shard server never
+                # reads (or caches) another shard's blocks
+                flt = flt & ds.field("doc_range").isin(sorted(self.doc_ranges))
+            tbl = self._seg.to_table(filter=flt, columns=self._seg_cols)
             new: dict[str, list] = {t: [] for t in missing}
             terms_col = tbl["term"].to_pylist()
             for i in range(tbl.num_rows):
@@ -217,3 +230,74 @@ class PointServer:
                 score=float(scores[j]),
             ))
         return out
+
+
+class ShardedServer:
+    """Horizontal serving: N PointServers, each owning a disjoint subset
+    of the index's doc_range partitions, merged by concat + global top-k
+    — the fleet-of-sidecars design from the module docstring, realized.
+
+    Correctness: documents are partitioned by doc_range, so every doc's
+    full postings live in exactly ONE shard — each shard computes that
+    doc's exact final score (disjunctive and conjunctive alike), and the
+    global top-k is a subset of the union of per-shard top-k's.  The
+    merge re-sorts by (score desc, doc_id asc): rank-identical to a
+    single PointServer over the whole index (pinned in tests).
+
+    In production each shard is its own process/host with ~1/N of the
+    index resident (the one-node RAM envelope divided by N); this
+    in-process composition is the same merge path with function calls in
+    place of RPCs.  Shard fan-out is embarrassingly parallel; the merge
+    handles k·N rows.
+    """
+
+    def __init__(self, out_dir: str, n_shards: int = 2,
+                 cache_terms: int = 4096):
+        import json
+
+        with open(os.path.join(out_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        seg_meta = manifest.get("stages", {}).get("segments")
+        if seg_meta is None:
+            raise FileNotFoundError(
+                f"no committed segments stage at {out_dir} "
+                "(build with build_segments=True)"
+            )
+        n_ranges = int(seg_meta["n_ranges"])
+        n_shards = max(1, min(n_shards, n_ranges))
+        # contiguous doc_range slices -> contiguous doc_id spans per shard
+        bounds = [round(i * n_ranges / n_shards) for i in range(n_shards + 1)]
+        # one shared doc_no array (per-host copies in a real fleet)
+        ref = PointServer(out_dir, load_doc_nos=True, cache_terms=0)
+        self.shards = [
+            PointServer(
+                out_dir,
+                cache_terms=cache_terms,
+                doc_ranges=set(range(bounds[i], bounds[i + 1])),
+                doc_nos=ref.doc_nos,
+            )
+            for i in range(n_shards)
+        ]
+
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        metric: str = "BM25",
+        conjunctive: bool = False,
+        query_id: int = 0,
+    ) -> list[ServeResult]:
+        per_shard = [
+            s.search(text, k=k, metric=metric, conjunctive=conjunctive,
+                     query_id=query_id)
+            for s in self.shards
+        ]
+        merged = sorted(
+            (r for rs in per_shard for r in rs),
+            key=lambda r: (-r.score, r.doc_id),
+        )[:k]
+        return [
+            ServeResult(query_id=r.query_id, rank=i, doc_id=r.doc_id,
+                        doc_no=r.doc_no, score=r.score)
+            for i, r in enumerate(merged)
+        ]

@@ -147,3 +147,36 @@ def test_sidecar_universal_term_and_tiny_cache(spark, tmp_path):
     r1 = [(r.doc_no, round(r.score, 9)) for r in srv.search("ubiq other0 filler3", k=5)]
     r2 = [(r.doc_no, round(r.score, 9)) for r in srv.search("ubiq other0 filler3", k=5)]
     assert r1 and r1 == r2
+
+
+@pytest.mark.parametrize("n_shards", [2, 3])
+def test_sharded_server_rank_identical(served_index, n_shards):
+    """ShardedServer (N PointServers over disjoint doc_range slices +
+    concat-and-global-top-k merge) must return exactly what a single
+    whole-index PointServer returns — same docs, same scores, same
+    ranks — for every query, disjunctive and conjunctive."""
+    from pulse_spark.serve import ShardedServer
+
+    idx, srv = served_index
+    sharded = ShardedServer(idx.out_dir, n_shards=n_shards)
+    assert len(sharded.shards) == n_shards
+    # shard ranges are disjoint and cover every doc_range of the index
+    all_ranges = [r for sh in sharded.shards for r in sh.doc_ranges]
+    assert len(all_ranges) == len(set(all_ranges))
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(idx.out_dir, "manifest.json")) as f:
+        n_ranges = _json.load(f)["stages"]["segments"]["n_ranges"]
+    assert set(all_ranges) == set(range(n_ranges))
+
+    for conjunctive in (False, True):
+        for qid, text in gen_queries():
+            exp = [(r.doc_id, r.rank, r.doc_no, round(r.score, 12))
+                   for r in srv.search(text, k=10, conjunctive=conjunctive,
+                                       query_id=qid)]
+            got = [(r.doc_id, r.rank, r.doc_no, round(r.score, 12))
+                   for r in sharded.search(text, k=10,
+                                           conjunctive=conjunctive,
+                                           query_id=qid)]
+            assert got == exp, (qid, conjunctive)
