@@ -69,3 +69,59 @@ def test_cli_eval_trec_run(spark, tmp_path, capsys):
     assert byq[1]["p_at_2"] == 0.5 and byq[1]["recall_at_2"] == 0.5
     assert byq[2]["p_at_2"] == 0.5 and byq[2]["recall_at_2"] == 1.0
     assert byq[2]["ndcg_at_2"] == 1.0
+
+
+def test_stemming_improves_recall_through_eval_cli(spark, tmp_path, capsys):
+    """Frozen realistic-qrels quality fixture (the reference's Table 4.6
+    experiment, docs/docs.pdf: recall@1000 .754 with stemming vs .693
+    without; docs/run.sh:21-46 workflow): a frozen labeled corpus where
+    half of each query's relevant docs use only MORPHOLOGICAL VARIANTS
+    of the query terms (merging/merged vs merge, partitioned vs
+    partition, ...).  Built, searched, and scored entirely through the
+    CLI (build -> search -> eval, the trec_eval workflow); the stemmed
+    index must recover the variant docs (recall 1.0), the unstemmed one
+    cannot (recall 0.5).  Guards the stemming/stopword semantics family
+    DuckDB can't oracle."""
+    import os
+
+    from pulse_spark import cli
+
+    fx = os.path.join(os.path.dirname(__file__), "fixtures")
+    docs = []
+    for ln in open(os.path.join(fx, "stem_recall_docs.tsv")):
+        no, text = ln.rstrip("\n").split("\t")
+        docs.append((no, 0, "user", text, "", None))
+    src = str(tmp_path / "transcripts")
+    spark.createDataFrame(
+        docs, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    ).write.parquet(src)
+
+    recalls = {}
+    for stemmed in (True, False):
+        out = str(tmp_path / f"idx_{stemmed}")
+        args = ["build", "--input", src, "--output", out, "--term-buckets", "4"]
+        if not stemmed:
+            args.append("--no-stemming")
+        assert cli.main(args) == 0
+        capsys.readouterr()
+
+        assert cli.main([
+            "search", "--index", out, "-k", "10",
+            "--queries", os.path.join(fx, "stem_recall_queries.tsv"),
+        ]) == 0
+        run_file = str(tmp_path / f"run_{stemmed}.txt")
+        with open(run_file, "w") as f:
+            f.write(capsys.readouterr().out)
+
+        assert cli.main([
+            "eval", "--run", run_file,
+            "--qrels", os.path.join(fx, "stem_recall_qrels.txt"), "-k", "10",
+        ]) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        macro = json.loads(lines[-1])
+        recalls[stemmed] = macro["mean_recall_at_10"]
+
+    assert recalls[True] > recalls[False]          # the Table 4.6 effect
+    assert abs(recalls[True] - 1.0) < 1e-6         # variants recovered
+    assert abs(recalls[False] - 0.5) < 1e-6        # exact-match ceiling
