@@ -55,16 +55,29 @@ def run_headline() -> dict:
     # warm the JVM + python workers once (not counted) — doc_stats runs
     # the tokenizer UDF, so worker spin-up isn't billed to the first query
     qs["doc_stats"](spark, SF_DIR).collect()
+    # the shared postings/terms/stats cache used by the top-k trio (+
+    # term_tf/term_df) is built ONCE and timed as its own line: billing
+    # it to whichever query ran first (round 2 billed it to bm25_topk)
+    # misattributes a build cost as query latency.  It still counts
+    # toward the headline total — it is real work.
+    from pulse_spark import harness as _h
+
+    t0 = time.time()
+    _h._postings(spark, SF_DIR).count()
+    _h._terms(spark, SF_DIR).count()
+    _h._stats(spark, SF_DIR)
+    cache_build = round(time.time() - t0, 3)
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)
-    total = round(sum(times.values()), 3)
+    total = round(sum(times.values()) + cache_build, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "cache_build_sec": cache_build,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -290,11 +303,13 @@ def run_latency() -> dict:
     return out
 
 
-def run_latency_sidecar() -> dict:
+def run_latency_sidecar(k: int = 10) -> dict:
     """Point-query latency through serve.PointServer (no Spark jobs in
     the query path) over the same ~112k-turn index as --latency, built
     WITH segments.  Rank-identity vs the Spark path is pinned in
-    tests/test_serve.py; this measures the serving speed."""
+    tests/test_serve.py; this measures the serving speed.  k=1000 gives
+    the like-for-like comparison with the reference's Table 4.3 (its
+    49 ms avg is at k=1000; corpus-size caveat stays in BENCH.md)."""
     import statistics
     import tempfile
 
@@ -317,19 +332,20 @@ def run_latency_sidecar() -> dict:
 
     srv = PointServer(idx_dir)
     queries = gen_queries()
-    srv.search(queries[0][1], k=10)  # warm file listing
+    srv.search(queries[0][1], k=k)  # warm file listing
     lat, per_q = [], {}
     for qid, text in queries:
         t0 = time.perf_counter()
-        srv.search(text, k=10)
+        srv.search(text, k=k)
         ms = (time.perf_counter() - t0) * 1000
         lat.append(ms)
         per_q[str(qid)] = round(ms, 2)
     lat.sort()
     return {
-        "metric": "sidecar_bm25_top10_latency_p50_ms",
+        "metric": f"sidecar_bm25_top{k}_latency_p50_ms",
         "value": round(statistics.median(lat), 2),
         "unit": "ms",
+        "k": k,
         "p90_ms": round(lat[int(0.9 * len(lat))], 2),
         "n_docs": n_docs,
         "queries": per_q,
@@ -402,7 +418,11 @@ if __name__ == "__main__":
     elif "--host-ceiling" in sys.argv:
         print(json.dumps(run_host_ceiling()))
     elif "--latency-sidecar" in sys.argv:
-        print(json.dumps(run_latency_sidecar()))
+        k = (
+            int(sys.argv[sys.argv.index("-k") + 1])
+            if "-k" in sys.argv else 10
+        )
+        print(json.dumps(run_latency_sidecar(k=k)))
     elif "--latency" in sys.argv:
         print(json.dumps(run_latency()))
     else:

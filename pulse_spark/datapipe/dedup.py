@@ -118,8 +118,6 @@ def minhash_lsh_pairs(
     which exact_dup_groups already catches with a linear groupBy); the
     cap is a count-aggregate + semi-join, no extra pass over the text."""
     sh = token_shingles(docs, id_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
     bk = lsh_bucket_keys(minhash_signatures(sh, id_col), id_col)
     if max_bucket_size is not None:
         # persisted because the cap consumes bk TWICE (bucket-size agg +
@@ -144,7 +142,16 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify: |A ∩ B| via shingle equi-join restricted to candidates
+    return verify_jaccard_pairs(cand, sh, id_col, min_jaccard)
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, id_col: str, min_jaccard: float
+) -> DataFrame:
+    """Exact-verify candidate pairs against shingle sets: |A ∩ B| via a
+    shingle equi-join restricted to candidates, Jaccard >= threshold.
+    Shared by the batch LSH path and the streaming incremental path."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -154,7 +161,7 @@ def minhash_lsh_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = (
+    return (
         inter.join(na, "id_a").join(nb, "id_b")
         .withColumn(
             "jaccard",
@@ -166,7 +173,6 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def ngram_jaccard_pairs(

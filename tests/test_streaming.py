@@ -226,3 +226,64 @@ def test_stateful_sessionizer_out_of_order_across_batches():
     assert len(closed) == 1
     assert closed.iloc[0]["n_events"] == 3
     assert closed.iloc[0]["session_start"] == "2026-01-01 12:00:00"
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup: incremental MinHash/LSH banding (neardup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_neardup_equals_batch(spark, tmp_path):
+    """The union of near-dup pairs emitted across micro-batches must
+    equal the batch minhash_lsh_pairs over the full corpus — same pairs,
+    same exact jaccard — and each pair must be emitted exactly once (in
+    the batch where its LATER member arrived).  Re-running the finished
+    stream adds nothing (exactly-once)."""
+    from pulse_spark.datapipe.dedup import minhash_lsh_pairs
+    from pulse_spark.streaming.neardup import (
+        start_streaming_neardup,
+        stream_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert exp  # the fixture corpus does contain near-dups
+
+    src = tmp_path / "docs_in"
+    out = tmp_path / "nd_out"
+    src.mkdir()
+    # three arrivals split by doc_id so near-dup pairs straddle batches
+    for i in range(3):
+        docs.where(f"doc_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src / f"arrival_{i}"), mode="overwrite"
+        )
+        import shutil as _sh
+
+        part = next(
+            p for p in (src / f"arrival_{i}").iterdir()
+            if p.name.endswith(".parquet")
+        )
+        _sh.move(str(part), str(src / f"part-{i}.parquet"))
+        _sh.rmtree(str(src / f"arrival_{i}"))
+
+    q = start_streaming_neardup(spark, str(src), str(out))
+    q.awaitTermination(180)
+
+    got_rows = stream_pairs(spark, str(out)).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_rows}
+    assert len(got_rows) == len(got)  # no pair emitted twice
+    assert got == exp
+
+    # pairs actually straddle batches (old x new path exercised)
+    with_batch = spark.read.parquet(str(out / "pairs"))
+    assert with_batch.select("batch_id").distinct().count() > 1
+
+    # exactly-once: restarting the finished stream emits nothing new
+    q2 = start_streaming_neardup(spark, str(src), str(out))
+    q2.awaitTermination(120)
+    assert stream_pairs(spark, str(out)).count() == len(exp)
