@@ -125,13 +125,18 @@ def minhash_lsh_pairs(
         # expansion would run twice end-to-end (measured +25% on the
         # whole-pair bench in round 2)
         bk = bk.persist()
-        ok = (
+        # OVERSIZED buckets are rare by construction (they are the
+        # pathology being dropped), so the filter is a broadcast ANTI
+        # join against the tiny bad-bucket list — map-side, no shuffle
+        # of the full bucket table (an inner join against the "ok" list
+        # would reshuffle every row by (band, band_key))
+        bad = (
             bk.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_bucket_size)
+            .where(F.col("_bsz") > max_bucket_size)
             .select("band", "band_key")
         )
-        bk = bk.join(ok, ["band", "band_key"])  # drop pathological buckets
+        bk = bk.join(F.broadcast(bad), ["band", "band_key"], "left_anti")
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, ["band", "band_key"])
@@ -360,13 +365,15 @@ def simhash_near_dup_pairs(
         F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
     )
     if max_bucket_size is not None:
-        ok = (
+        # broadcast anti-join on the rare oversized buckets (see
+        # minhash_lsh_pairs) — no shuffle of the full bucket table
+        bad = (
             bk.groupBy("band", "band_bits")
             .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_bucket_size)
+            .where(F.col("_bsz") > max_bucket_size)
             .select("band", "band_bits")
         )
-        bk = bk.join(ok, ["band", "band_bits"])
+        bk = bk.join(F.broadcast(bad), ["band", "band_bits"], "left_anti")
     a = bk.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
                   "band", "band_bits")
     b = bk.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),

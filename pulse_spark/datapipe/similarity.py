@@ -319,13 +319,18 @@ def embedding_near_dup_pairs(
     dim = len(head["v"])
     bk = _banded_buckets(e, dim, bands, bits_per_band)
     if max_bucket_size is not None:
-        ok = (
+        # consumed twice below (size agg + anti join): persist so the
+        # bands × bits dot-product projection isn't computed twice
+        bk = bk.persist()
+        # broadcast anti-join on the rare oversized buckets (see
+        # dedup.minhash_lsh_pairs) — no shuffle of the full bucket table
+        bad = (
             bk.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_bucket_size)
+            .where(F.col("_bsz") > max_bucket_size)
             .select("band", "bucket")
         )
-        bk = bk.join(ok, ["band", "bucket"])
+        bk = bk.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
     a = bk.select(F.col("vid").alias("id_a"), "band", "bucket")
     b = bk.select(F.col("vid").alias("id_b"), "band", "bucket")
     cand = (
