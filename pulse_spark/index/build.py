@@ -60,25 +60,74 @@ def postings_df(
     settings: IndexingSettings,
     id_col: str = "doc_no",
     extra_cols: tuple[str, ...] = (),
+    tokenizer: str = "expr",
 ) -> DataFrame:
     """(term, <id_col>, tf, doc_len [, extra_cols]): the exploded
     inverted index.
 
+    tokenizer strategies (identical output, different execution; both
+    ZERO-shuffle — tf is doc-local either way):
+
+    - "expr" (default): JVM whole-stage-codegen tokenization + per-doc tf
+      as column expressions for short ASCII rows (text/exprs.py); Porter
+      (when enabled) is the only Python left — an Arrow UDF of memoized
+      dict lookups, O(vocab) Porter runs.  Non-ASCII or very long rows
+      fall back to the exact fused UDF.  The point is scaling: the
+      Python-per-token arrow path is capped by this host's measured
+      ~0.65 8->32 Python ceiling (bench.py --host-ceiling); the JVM path
+      rides codegen, which scales like the ~0.87 integer control.
+
+    - "arrow": the fused pandas-UDF path (tokenize + doc-local tf inside
+      one Arrow batch — preprocess.Frequencies, preprocess.go:36-46);
+      every token pays Python.
+
     Equivalent of the reference's per-partition Lexicon accumulation +
-    global merge (lexicon.go:28-42, spimi.go:123-228) — with ZERO
-    shuffles: per-doc tf is computed inside the tokenizer UDF
-    (preprocess.Frequencies is doc-local), so the posting rows come out
-    of a single scan; only the df/max_tf lexicon merge (terms_df) and the
-    physical layout repartition shuffle.  doc_len (and optionally doc_id)
-    are denormalized into the posting row so scoring never joins the docs
-    table (the reference likewise reads (docno,size) per hit).
+    global merge (lexicon.go:28-42, spimi.go:123-228).  doc_len (and
+    optionally doc_id) are denormalized into the posting row so scoring
+    never joins the docs table (the reference likewise reads
+    (docno, size) per hit).
     """
-    tf = make_term_freq_udf(settings.preprocess)
     keep = [id_col, "doc_len", *extra_cols]
-    exploded = docs.select(
+    if tokenizer == "arrow":
+        tf = make_term_freq_udf(settings.preprocess)
+        exploded = docs.select(
+            *keep, F.explode(tf(F.col("text"))).alias("p")
+        )
+        return exploded.select(
+            F.col("p.term").alias("term"), *keep, F.col("p.tf").alias("tf")
+        )
+    if tokenizer != "expr":
+        raise ValueError(f"unknown tokenizer strategy {tokenizer!r}")
+
+    from pulse_spark.text import exprs as X
+
+    pre = settings.preprocess
+    base = docs.select(*keep, "text")
+    fast = X.is_ascii(F.col("text")) & (
+        F.octet_length(F.col("text")) < F.lit(X.MAX_EXPR_DOC_BYTES)
+    )
+    jvm = base.where(fast).select(
+        *keep,
+        X.tokens_ascii_expr(F.col("text"), pre.stopwords_removal).alias("_toks"),
+    )
+    if pre.stemming:
+        # stemming happens AFTER tokenization and BEFORE counting, so
+        # stem collisions within a doc merge in the tf count below —
+        # identical to the reference's stem-then-Frequencies order
+        jvm = jvm.select(
+            *keep, X.make_stem_arr_udf()(F.col("_toks")).alias("_toks")
+        )
+    jvm = jvm.select(*keep, F.explode(X.term_freqs_expr(F.col("_toks"))).alias("p"))
+    # non-ASCII or very long rows: the exact fused Python pipeline.  The
+    # union scans the source twice (each branch filters its rows); scan
+    # cost is tiny next to tokenization, and every row is processed by
+    # exactly one branch — NULL text matches neither filter, which equals
+    # the UDF path's empty token list (no posting rows either way).
+    tf = make_term_freq_udf(pre)
+    py = base.where(~fast).select(
         *keep, F.explode(tf(F.col("text"))).alias("p")
     )
-    return exploded.select(
+    return jvm.unionByName(py).select(
         F.col("p.term").alias("term"), *keep, F.col("p.tf").alias("tf")
     )
 

@@ -68,8 +68,13 @@ def build_persisted_index(
     num_doc_partitions: int | None = None,
     build_segments: bool = False,
     assign_ids: bool | None = None,
+    tokenizer: str = "expr",
 ) -> Index:
     """Stage-checkpointed build; resumable — completed stages are skipped.
+
+    tokenizer: "expr" (JVM codegen + distinct-vocab stem dictionary,
+    build.postings_df) or "arrow" (fused pandas UDF).  Execution strategy
+    only — identical postings either way (tests/test_exprs.py).
 
     assign_ids: dense deterministic doc_ids (rank of (conv_id, turn_idx)).
     Needed only by the compressed-segments layout (delta-varint wants
@@ -172,7 +177,8 @@ def build_persisted_index(
 
             fp_obs = Observation("resume_fp")
             d_postings_src = d_full.observe(fp_obs, *_fingerprint_metrics())
-        p = B.postings_df(d_postings_src, settings, id_col=id_col)
+        p = B.postings_df(d_postings_src, settings, id_col=id_col,
+                          tokenizer=tokenizer)
         p = B.with_term_bucket(p, settings.term_buckets)
         # SALTED repartition (north rule): a bare repartition("bucket")
         # sends a hot term's millions of postings to ONE task — the stage
