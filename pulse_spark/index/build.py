@@ -60,7 +60,7 @@ def postings_df(
     settings: IndexingSettings,
     id_col: str = "doc_no",
     extra_cols: tuple[str, ...] = (),
-    tokenizer: str = "expr",
+    tokenizer: str = "arrow",
 ) -> DataFrame:
     """(term, <id_col>, tf, doc_len [, extra_cols]): the exploded
     inverted index.
@@ -68,18 +68,25 @@ def postings_df(
     tokenizer strategies (identical output, different execution; both
     ZERO-shuffle — tf is doc-local either way):
 
-    - "expr" (default): JVM whole-stage-codegen tokenization + per-doc tf
-      as column expressions for short ASCII rows (text/exprs.py); Porter
-      (when enabled) is the only Python left — an Arrow UDF of memoized
-      dict lookups, O(vocab) Porter runs.  Non-ASCII or very long rows
-      fall back to the exact fused UDF.  The point is scaling: the
-      Python-per-token arrow path is capped by this host's measured
-      ~0.65 8->32 Python ceiling (bench.py --host-ceiling); the JVM path
-      rides codegen, which scales like the ~0.87 integer control.
+    - "arrow" (default): the fused pandas-UDF path (tokenize + doc-local
+      tf inside one Arrow batch — preprocess.Frequencies,
+      preprocess.go:36-46); every token pays Python.
 
-    - "arrow": the fused pandas-UDF path (tokenize + doc-local tf inside
-      one Arrow batch — preprocess.Frequencies, preprocess.go:36-46);
-      every token pays Python.
+    - "expr": JVM whole-stage-codegen tokenization + per-doc tf as column
+      expressions for short ASCII rows (text/exprs.py); Porter (when
+      enabled) is the only Python left — an Arrow UDF of memoized dict
+      lookups, O(vocab) Porter runs.  Non-ASCII or very long rows fall
+      back to the exact fused UDF.
+
+    Default choice is MEASURED, not assumed (BENCH.md §1): on this
+    sandbox the build's bottleneck is the JVM shuffle+parquet side, not
+    Python — the Spark-free tokenizer pool does 411 k docs/s at 8 procs
+    vs the whole build's ~80 k turns/s, so "arrow" wins the head-to-head
+    (~80 k vs ~60 k turns/s at 8 cores; expr's extra scan+Arrow stem
+    round-trip costs more than the Python it removes).  "expr" is the
+    right strategy only once per-node build throughput approaches the
+    Python workers' ceiling (real clusters with fast local NVMe shuffle,
+    or stemming=False configs where it is pure codegen end-to-end).
 
     Equivalent of the reference's per-partition Lexicon accumulation +
     global merge (lexicon.go:28-42, spimi.go:123-228).  doc_len (and

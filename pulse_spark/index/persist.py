@@ -68,13 +68,14 @@ def build_persisted_index(
     num_doc_partitions: int | None = None,
     build_segments: bool = False,
     assign_ids: bool | None = None,
-    tokenizer: str = "expr",
+    tokenizer: str = "arrow",
 ) -> Index:
     """Stage-checkpointed build; resumable — completed stages are skipped.
 
-    tokenizer: "expr" (JVM codegen + distinct-vocab stem dictionary,
-    build.postings_df) or "arrow" (fused pandas UDF).  Execution strategy
-    only — identical postings either way (tests/test_exprs.py).
+    tokenizer: "arrow" (fused pandas UDF, measured default) or "expr"
+    (JVM codegen + memoized array stemming; see build.postings_df for
+    the measured trade-off).  Execution strategy only — identical
+    postings either way (tests/test_exprs.py).
 
     assign_ids: dense deterministic doc_ids (rank of (conv_id, turn_idx)).
     Needed only by the compressed-segments layout (delta-varint wants

@@ -4,8 +4,9 @@ The reference's DAAT k-way posting merge (search.go:119-159) is a
 docID-aligned merge — relationally, exactly `GROUP BY doc` over the
 exploded postings of the query terms.  Its per-partition bounded heap +
 global heap merge (search.go:49-74) is Spark's partial top-k; here it is a
-window rank filter after aggregation (the WAND fast path in wand.py does
-real per-partition heaps inside mapInPandas).
+two-phase bounded top-k (per-partition prune, then a global window over
+the survivors); the MaxScore/block-max path in index/segments.py does
+real per-partition pruning inside applyInPandas.
 
 Scale notes (the part that must survive 100 TB):
   - Query terms are collected driver-side (a query set is tiny by

@@ -18,8 +18,12 @@ Spark path writes (index/segments.py):
 
 Scoring is the same numpy kernel family as segments.py's distributed
 scorer: decode delta+varint/unary blocks, vectorized BM25/TFIDF partials,
-dense accumulator, argpartition top-k.  Results are rank-identical to
-query/search.py::search_topk (pinned by tests/test_serve.py).
+dense accumulator, argpartition top-k — including the same score-safe
+MaxScore pruning over the per-block max-score metadata (terms in
+decreasing upper-bound order; once the remaining bound cannot lift a new
+doc into the top-k, blocks that miss the candidate span are skipped).
+Results are rank-identical to query/search.py::search_topk (pinned by
+tests/test_serve.py).
 
 Scale honesty: this sidecar is a SINGLE-NODE serving tier — it assumes
 the lexicon + one dense float accumulator fit in RAM (fine into the
@@ -108,6 +112,7 @@ class PointServer:
         )
         self._seg_cols = [
             "term", "n", "doc_ids_bin", "tfs_bin", "doc_lens_bin",
+            "min_doc_id", "max_doc_id", "max_tf", "max_part",
         ]
         # LRU of DECODED per-term blocks — repeated/hot query terms skip
         # both the parquet read and the varint/unary decode (the analog
@@ -118,7 +123,8 @@ class PointServer:
         self._block_cache: OrderedDict[str, list] = OrderedDict()
 
     def _blocks_for(self, qterms: list[str]) -> dict[str, list]:
-        """term -> [(doc_ids, tfs, doc_lens)] decoded blocks, via LRU."""
+        """term -> [(doc_ids, tfs, doc_lens, lo, hi, max_tf, max_part)]
+        decoded blocks + per-block max-score metadata, via LRU."""
         import pyarrow.dataset as ds
 
         missing = [t for t in qterms if t not in self._block_cache]
@@ -132,8 +138,15 @@ class PointServer:
             new: dict[str, list] = {t: [] for t in missing}
             terms_col = tbl["term"].to_pylist()
             for i in range(tbl.num_rows):
-                row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:]}
-                new[terms_col[i]].append(self._decode(row))
+                row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:5]}
+                ids, tfs, lens = self._decode(row)
+                new[terms_col[i]].append((
+                    ids, tfs, lens,
+                    int(tbl["min_doc_id"][i].as_py()),
+                    int(tbl["max_doc_id"][i].as_py()),
+                    int(tbl["max_tf"][i].as_py()),
+                    float(tbl["max_part"][i].as_py()),
+                ))
             for t in missing:
                 self._block_cache[t] = new[t]
         out = {}
@@ -185,15 +198,50 @@ class PointServer:
 
         blocks = self._blocks_for(qterms)
 
+        # MaxScore over the per-block max-score metadata (the same
+        # score-safe pruning as segments.search_segments): process terms
+        # in decreasing score-upper order; once the remaining terms'
+        # summed upper bound cannot lift a NEW document past the current
+        # k-th score, later terms only update existing candidates and
+        # skip blocks outside the candidate doc-id span.  Every matched
+        # doc is still fully scored, so the returned top-k (scores AND
+        # ranks) equals the exhaustive path's — pinned in test_serve.py.
+        infos = []
+        for term in qterms:
+            idf = math.log(self.n_docs / self.df[term])
+            if use_bm25:
+                mp = max((b[6] for b in blocks[term]), default=0.0)
+                upper = w[term] * idf * mp
+            else:
+                mt = max((b[5] for b in blocks[term]), default=1)
+                upper = w[term] * (1 + math.log(mt)) * idf
+            infos.append((term, idf, upper))
+        infos.sort(key=lambda x: -x[2])
+        suffix = np.cumsum([u for *_, u in infos][::-1])[::-1]
+
         acc = np.zeros(self.n_docs, dtype=np.float64)
         # matched tracks MEMBERSHIP, not score: a universal term has
         # idf = ln(1) = 0, and its zero-score matches still belong to the
         # disjunctive candidate set in both Spark paths (rank-identity)
         matched = np.zeros(self.n_docs, dtype=bool)
         hits = np.zeros(self.n_docs, dtype=np.int32) if conjunctive else None
-        for term in qterms:
-            idf = math.log(self.n_docs / self.df[term])
-            for ids, tfs, lens in blocks[term]:
+        n_matched = 0
+        # observability: how much the pruning actually did (tests/bench)
+        self.last_pruned_terms = 0
+        self.last_blocks_skipped = 0
+        for i, (term, idf, upper) in enumerate(infos):
+            only_existing = False
+            if not conjunctive and n_matched >= k:
+                kth = -np.partition(-acc[matched], k - 1)[k - 1]
+                if suffix[i] < kth - 1e-9:
+                    only_existing = True
+                    self.last_pruned_terms += 1
+                    nz = np.nonzero(matched)[0]
+                    lo, hi = int(nz[0]), int(nz[-1])
+            for ids, tfs, lens, blo, bhi, _mt, _mp in blocks[term]:
+                if only_existing and (bhi < lo or blo > hi):
+                    self.last_blocks_skipped += 1
+                    continue  # block cannot intersect any candidate
                 tf = tfs.astype(np.float64)
                 if use_bm25:
                     part = tf / (
@@ -202,12 +250,20 @@ class PointServer:
                 else:
                     part = 1 + np.log(tf)
                 idx = ids.astype(np.int64)
-                acc[idx] += w[term] * idf * part
-                matched[idx] = True
-                if hits is not None:
-                    hits[idx] += 1
-
+                sc = w[term] * idf * part
+                if only_existing:
+                    m = matched[idx]
+                    acc[idx[m]] += sc[m]
+                else:
+                    acc[idx] += sc
+                    new = ~matched[idx]
+                    n_matched += int(np.count_nonzero(new))
+                    matched[idx] = True
+                    if hits is not None:
+                        hits[idx] += 1
         if conjunctive:
+            # conjunctive never prunes (only_existing stays False), so
+            # every posting passed the hits counter exactly once per term
             cand = np.nonzero(hits == len(qterms))[0]
         else:
             cand = np.nonzero(matched)[0]

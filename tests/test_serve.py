@@ -180,3 +180,22 @@ def test_sharded_server_rank_identical(served_index, n_shards):
                                            conjunctive=conjunctive,
                                            query_id=qid)]
             assert got == exp, (qid, conjunctive)
+
+
+def test_maxscore_pruned_small_k_matches_large_k_prefix(served_index):
+    """MaxScore pruning is k-dependent: a k=1 search prunes hardest.  The
+    pruned result must equal the prefix of a (barely-pruned) large-k
+    search — identical docs AND bit-identical scores (term processing
+    order is the same sorted-upper order at every k)."""
+    _, srv = served_index
+    any_pruned = False
+    for qid, text in gen_queries():
+        full = srv.search(text, k=100)
+        for k in (1, 3, 10):
+            got = srv.search(text, k=k)
+            any_pruned = any_pruned or srv.last_pruned_terms > 0
+            assert [(r.doc_id, r.score) for r in got] == \
+                [(r.doc_id, r.score) for r in full[:k]], (qid, k)
+    # at least one (query, k) pair must have exercised the pruned path,
+    # otherwise this test proves nothing about MaxScore
+    assert any_pruned
