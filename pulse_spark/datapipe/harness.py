@@ -145,6 +145,31 @@ def q_response_pairs(spark, sf_dir):
     return tr.response_pairs(tr.docs_as_transcripts(_docs(spark, sf_dir)))
 
 
+def q_keyword_extract(spark, sf_dir):
+    """Top-3 TF-IDF keywords per doc (topic tagging / domain routing)."""
+    return textstats.keyword_extract(_docs(spark, sf_dir), k=3)
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Adjacent-token collocations by PMI (tokenizer-merge candidates)."""
+    return textstats.bigram_pmi(_docs(spark, sf_dir), min_count=5)
+
+
+def q_turn_windows(spark, sf_dir):
+    """Sliding 3-turn context windows per conversation (training-sample
+    packing with bounded context)."""
+    from pulse_spark.datapipe import transcripts as tr
+
+    return tr.turn_windows(tr.docs_as_transcripts(_docs(spark, sf_dir)), window=3)
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash train/val split (stable under corpus growth)."""
+    from pulse_spark.datapipe.pipeline import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir), val_frac=0.125)
+
+
 def q_events_hourly(spark, sf_dir):
     return events.hourly_counts(_events(spark, sf_dir))
 
@@ -174,6 +199,10 @@ DATAPIPE_QUERIES = {
     "conv_stats": q_conv_stats,
     "conv_text": q_conv_text,
     "response_pairs": q_response_pairs,
+    "keyword_extract": q_keyword_extract,
+    "bigram_pmi": q_bigram_pmi,
+    "turn_windows": q_turn_windows,
+    "train_val_split": q_train_val_split,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
 }
@@ -434,6 +463,65 @@ SELECT CAST(a.conv_id AS BIGINT) AS conv_id,
        CAST(a.turn_idx AS BIGINT) AS turn_idx,
        a.text AS text, b.text AS next_text
 FROM tr a JOIN tr b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+""",
+    "keyword_extract": f"""
+WITH tk AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       tf.term AS term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+FROM tf JOIN df USING (term), n
+WINDOW w AS (PARTITION BY tf.doc_id
+             ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                      DESC, tf.term ASC)
+QUALIFY row_number() OVER w <= 3
+""",
+    "bigram_pmi": f"""
+WITH tk AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents),
+pr AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+                i -> struct_pack(w1 := toks[CAST(i AS INT)],
+                                 w2 := toks[CAST(i AS INT) + 1]))) AS p
+  FROM tk
+),
+bi AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+uni AS (SELECT unnest(toks) AS w FROM tk),
+un AS (SELECT w, count(*) AS n FROM uni GROUP BY 1),
+tb AS (SELECT sum(n_ab) AS t_bi FROM bi),
+tu AS (SELECT sum(n) AS t_u FROM un)
+SELECT bi.w1 AS w1, bi.w2 AS w2, CAST(bi.n_ab AS BIGINT) AS n_ab,
+       round(ln((CAST(bi.n_ab AS DOUBLE) * tu.t_u * tu.t_u)
+                / (CAST(tb.t_bi AS DOUBLE) * ua.n * ub.n)), 6) AS pmi
+FROM bi
+JOIN un ua ON ua.w = bi.w1
+JOIN un ub ON ub.w = bi.w2, tb, tu
+WHERE bi.n_ab >= 5
+""",
+    "turn_windows": """
+WITH tr AS (
+  SELECT doc_id % 100 AS conv_id, doc_id // 100 AS turn_idx, text
+  FROM documents
+)
+SELECT CAST(a.conv_id AS BIGINT) AS conv_id,
+       CAST(a.turn_idx AS BIGINT) AS start_turn,
+       CAST(3 AS BIGINT) AS n_turns,
+       string_agg(b.text, ' ' ORDER BY b.turn_idx) AS text
+FROM tr a
+JOIN tr b ON b.conv_id = a.conv_id
+         AND b.turn_idx BETWEEN a.turn_idx AND a.turn_idx + 2
+GROUP BY a.conv_id, a.turn_idx
+HAVING count(*) = 3
+""",
+    "train_val_split": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 3) < '200'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
 """,
     # no oracle (rows-only): simhash, simhash_near_dups, lsh_cosine_topk,
     # ivf_cosine_topk, multimodal_features

@@ -67,3 +67,30 @@ def kept_corpus(docs: DataFrame, id_col: str = "doc_id", **kw) -> DataFrame:
     sides on the id (or broadcast on its own if AQE sees it's small)."""
     keep = corpus_filter(docs, id_col, **kw).where("keep").select(id_col)
     return docs.join(keep, id_col)
+
+
+def train_val_split(docs, val_frac: float = 0.125, id_col: str = "doc_id",
+                    salt: str = "split"):
+    """(doc_id, split): deterministic hash-based train/val assignment —
+    the split must be a pure function of the doc identity so it is (a)
+    reproducible across runs/clusters with no stored split table, (b)
+    stable under corpus growth (new docs never flip old assignments —
+    unlike any sample()/random() split), (c) cheap: one projection, zero
+    shuffles, no driver state.
+
+    Mechanism: md5 of (salt | id); the first 3 hex chars compared against
+    a threshold prefix, so val_frac is quantized to n/4096 (documented —
+    exactness of the fraction matters less than determinism; a different
+    salt gives an independent re-split).  md5 is the one hash Spark and
+    DuckDB share, keeping this under the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    thr_int = max(0, min(4096, round(val_frac * 4096)))
+    # "zzz" sorts above every hex prefix -> val_frac=1.0 puts all in val
+    thr = "zzz" if thr_int == 4096 else format(thr_int, "03x")
+    h = F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.when(F.substring(h, 1, 3) < F.lit(thr), F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )

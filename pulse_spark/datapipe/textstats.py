@@ -114,3 +114,99 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.array_min(shingles).alias("min_shingle_md5"),
         )
     )
+
+
+def keyword_extract(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, rank, term, tf, score): top-k TF-IDF keywords per doc —
+    the topic-tagging primitive of a training-data pipeline (doc routing,
+    domain mixing weights).
+
+    score = tf * ln(N/df), ranked on round(score, 6) with term-asc
+    tie-break so Spark and the SQL oracle agree bit-for-bit.
+
+    Scale: one explode + two hash aggregations (both with map-side
+    partial agg), a broadcast of the 1-row corpus count, and a per-doc
+    window (groups are doc-sized, never corpus-sized).  No driver
+    collect; the df table is vocabulary-sized."""
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(ws_tokens(F.col("text"))).alias("term"),
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("rank") < k)
+        .select(id_col, "rank", "term", F.col("tf").cast("long").alias("tf"),
+                "score")
+    )
+
+
+def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """(w1, w2, n_ab, pmi): adjacent-token bigrams with pointwise mutual
+    information — collocation mining (tokenizer-merge candidates, phrase
+    vocabularies).
+
+    pmi = ln( (n_ab/T_bi) / ((n_a/T_u)(n_b/T_u)) ), computed as one
+    expression ln(n_ab*T_u²/(T_bi*n_a*n_b)) so the SQL oracle rounds
+    identically.  min_count drops the noise tail (and bounds the output
+    at scale: bigram types are Heaps-sublinear after a count floor).
+
+    Scale: two explodes + three hash aggs (all partial-agg), scalar
+    totals broadcast.  The Spark ``sequence(1, n-1)`` is guarded for
+    n < 2 — Spark's sequence(1, 0) is DESCENDING, not empty."""
+    toks = ws_tokens(F.col("text"))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t_bi = bi.agg(F.sum("n_ab").alias("t_bi"))
+    t_u = uni.agg(F.sum("n").alias("t_u"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bi.where(F.col("n_ab") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_u))
+        .select(
+            "w1", "w2", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("t_u") * F.col("t_u"))
+                    / (F.col("t_bi") * F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -103,3 +103,43 @@ def turn_deltas(transcripts_with_ts: DataFrame) -> DataFrame:
             6,
         ).alias("gap_sec"),
     )
+
+
+def turn_windows(transcripts: DataFrame, window: int = 3,
+                 sep: str = " ") -> DataFrame:
+    """(conv_id, start_turn, n_turns, text): sliding windows of `window`
+    consecutive turns per conversation — the context-window packing step
+    of a transcript training pipeline (each window becomes one training
+    sample with bounded context).
+
+    One shuffle (the conv_id groupBy; conversations are bounded-size
+    groups), then pure array expressions: sort_array pins the stable turn
+    ordering without a window function, slice+concat_ws emit each window.
+    Conversations shorter than `window` produce no rows (no padding —
+    padding policy belongs to the consumer).  The transform is guarded
+    for n < window: Spark's sequence(1, 0) is DESCENDING, not empty."""
+    g = transcripts.groupBy(F.col("conv_id").cast("long").alias("conv_id")).agg(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "text"))).alias("_ts")
+    )
+    n = F.size("_ts")
+    wins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - window + 1),
+            lambda i: F.struct(
+                F.element_at("_ts", i)["turn_idx"].cast("long").alias("start_turn"),
+                F.array_join(
+                    F.transform(F.slice("_ts", i, window), lambda s: s["text"]),
+                    sep,
+                ).alias("text"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<start_turn:bigint,text:string>>")
+    )
+    return g.select("conv_id", F.explode(wins).alias("w")).select(
+        "conv_id",
+        F.col("w.start_turn").alias("start_turn"),
+        F.lit(window).cast("long").alias("n_turns"),
+        F.col("w.text").alias("text"),
+    )

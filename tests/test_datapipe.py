@@ -307,3 +307,84 @@ def test_near_dup_clusters_and_corpus_filter(spark):
     kept = {r["doc_id"] for r in kept_corpus(df, min_jaccard=0.3,
                                              min_stopword_ratio=0.0).collect()}
     assert kept == {1, 4}
+
+
+def test_keyword_extract_semantics(spark):
+    """Hand-built corpus: the doc-specific term must outrank corpus-wide
+    terms; ranks are dense per doc and scores non-increasing."""
+    from pulse_spark.datapipe.textstats import keyword_extract
+
+    docs = spark.createDataFrame(
+        [(0, "common common zebra zebra zebra"),
+         (1, "common common common apple"),
+         (2, "common banana banana")],
+        "doc_id long, text string")
+    rows = keyword_extract(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(len(rs)))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> score 0; the
+    # doc-specific term must rank first
+    assert by_doc[0][0]["term"] == "zebra"
+    assert by_doc[1][0]["term"] == "apple"
+    assert by_doc[2][0]["term"] == "banana"
+
+
+def test_bigram_pmi_collocation(spark):
+    """A bigram that always co-occurs gets higher PMI than one assembled
+    from independent frequent tokens; min_count filters the tail."""
+    import math
+
+    from pulse_spark.datapipe.textstats import bigram_pmi
+
+    rows = [(i, "new york " + ("the cat " if i % 2 else "the dog ") * 3)
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in bigram_pmi(docs, min_count=5).collect()}
+    assert ("new", "york") in out
+    assert all(r["n_ab"] >= 5 for r in out.values())
+    # 'new york' is a perfect collocation; 'the cat' shares 'the' with
+    # 'the dog' -> lower PMI
+    assert out[("new", "york")]["pmi"] > out[("the", "cat")]["pmi"]
+    assert all(math.isfinite(r["pmi"]) for r in out.values())
+
+
+def test_turn_windows_shapes(spark):
+    """Windows slide by 1 under stable turn order; short convs emit none;
+    window text == concat of the member turns."""
+    from pulse_spark.datapipe.transcripts import turn_windows
+
+    tr = spark.createDataFrame(
+        [(0, 2, "c"), (0, 0, "a"), (0, 1, "b"), (0, 3, "d"),  # shuffled input
+         (1, 0, "only"), (1, 1, "two")],
+        "conv_id long, turn_idx long, text string")
+    rows = sorted(turn_windows(tr, window=3).collect(),
+                  key=lambda r: (r["conv_id"], r["start_turn"]))
+    assert [(r["conv_id"], r["start_turn"], r["text"]) for r in rows] == [
+        (0, 0, "a b c"), (0, 1, "b c d")]
+    assert all(r["n_turns"] == 3 for r in rows)
+
+
+def test_train_val_split_deterministic_and_stable(spark):
+    """Same ids -> same split across calls AND across corpus growth (the
+    property a sample()-based split lacks); fraction near the quantized
+    target; salt changes give an independent re-split."""
+    from pulse_spark.datapipe.pipeline import train_val_split
+
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in train_val_split(big).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_split(big).collect()}
+    assert a == b
+    sub = {r["doc_id"]: r["split"] for r in train_val_split(small).collect()}
+    assert all(a[k] == v for k, v in sub.items())  # growth-stable
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.09 < frac < 0.16, frac  # 0.125 target, binomial wiggle
+    resalt = {r["doc_id"]: r["split"]
+              for r in train_val_split(big, salt="other").collect()}
+    assert resalt != a  # independent re-split
