@@ -164,6 +164,22 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Merge two committed indexes (index/merge.py): batch ingestion
+    without re-tokenizing — touches index artifacts only."""
+    spark = _spark(args)
+    from pulse_spark.index.merge import merge_indexes
+
+    idx = merge_indexes(spark, args.a, args.b, args.output,
+                        check_disjoint=not args.no_disjoint_check)
+    print(json.dumps({
+        "output": args.output, "n_docs": idx.n_docs,
+        "adl": round(idx.adl, 6),
+        "segments": idx.has_segments,
+    }))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """trec_eval analog (trec_eval/README.md:22-36 workflow): score a
     TREC run file against a qrels file with eval.py's metrics.
@@ -240,6 +256,15 @@ def main(argv=None) -> int:
                    help="with --sidecar: serve via N doc_range shard "
                         "servers + global top-k merge (rank-identical)")
     s.set_defaults(fn=cmd_search)
+
+    m = sub.add_parser("merge", help="merge two committed indexes "
+                                     "(batch ingestion, no re-tokenize)")
+    m.add_argument("--a", required=True, help="first index dir")
+    m.add_argument("--b", required=True, help="second index dir (absorbed)")
+    m.add_argument("--output", required=True)
+    m.add_argument("--no-disjoint-check", action="store_true",
+                   help="skip the doc_no overlap assertion")
+    m.set_defaults(fn=cmd_merge)
 
     e = sub.add_parser("eval", help="score a TREC run against qrels "
                                     "(trec_eval analog)")

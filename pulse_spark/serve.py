@@ -88,6 +88,10 @@ class PointServer:
         stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
         self.n_docs = int(stats["n_docs"])
         self.adl = float(stats["adl"])
+        # merged indexes (index/merge.py) round the absorbed side's id
+        # offset up to a whole doc_range, leaving a gap in the id space:
+        # dense arrays size by id_space, BM25's N stays the true count
+        self.id_space = int(stats.get("id_space") or self.n_docs)
 
         t = pq.read_table(os.path.join(out_dir, "terms"), columns=["term", "df"])
         self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
@@ -102,7 +106,7 @@ class PointServer:
             ids = np.asarray(d["doc_id"].to_numpy())
             nos = np.asarray(d["doc_no"].to_pylist(), dtype=object)
             order = np.argsort(ids)
-            arr = np.empty(self.n_docs, dtype=object)
+            arr = np.empty(self.id_space, dtype=object)
             arr[ids[order]] = nos[order]
             self.doc_nos = arr
 
@@ -219,12 +223,12 @@ class PointServer:
         infos.sort(key=lambda x: -x[2])
         suffix = np.cumsum([u for *_, u in infos][::-1])[::-1]
 
-        acc = np.zeros(self.n_docs, dtype=np.float64)
+        acc = np.zeros(self.id_space, dtype=np.float64)
         # matched tracks MEMBERSHIP, not score: a universal term has
         # idf = ln(1) = 0, and its zero-score matches still belong to the
         # disjunctive candidate set in both Spark paths (rank-identity)
-        matched = np.zeros(self.n_docs, dtype=bool)
-        hits = np.zeros(self.n_docs, dtype=np.int32) if conjunctive else None
+        matched = np.zeros(self.id_space, dtype=bool)
+        hits = np.zeros(self.id_space, dtype=np.int32) if conjunctive else None
         n_matched = 0
         # observability: how much the pruning actually did (tests/bench)
         self.last_pruned_terms = 0

@@ -1,0 +1,149 @@
+"""index/merge.py: merging two committed indexes must be search-
+indistinguishable from building one index over the union of the corpora
+— for the DataFrame path AND the sidecar over merged segments."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.fixtures import gen_queries
+from pulse_spark.index.merge import merge_indexes
+from pulse_spark.index.persist import build_persisted_index
+from pulse_spark.query.search import search_topk
+
+SETTINGS = IndexingSettings(term_buckets=4, block_size=32)
+
+
+@pytest.fixture(scope="module")
+def halves(spark, transcripts_path, tmp_path_factory):
+    """Full build + a merge of two arbitrary (conv-hash) halves, both
+    with segments."""
+    base = tmp_path_factory.mktemp("mergeidx")
+    tr = spark.read.parquet(transcripts_path)
+    half_a = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    full = build_persisted_index(spark, tr, str(base / "full"), SETTINGS,
+                                 build_segments=True)
+    a = build_persisted_index(spark, half_a, str(base / "a"), SETTINGS,
+                              build_segments=True)
+    b = build_persisted_index(spark, half_b, str(base / "b"), SETTINGS,
+                              build_segments=True)
+    merged = merge_indexes(spark, a.out_dir, b.out_dir, str(base / "m"))
+    return full, merged
+
+
+def _topk(idx, spark, k=10, metric="BM25", conjunctive=False):
+    qdf = spark.createDataFrame(gen_queries(), "query_id long, text string")
+    out = {}
+    for r in search_topk(idx, qdf, k=k, metric=metric,
+                         conjunctive=conjunctive).collect():
+        out.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_no"], round(r["score"], 9))
+        )
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def _score_groups(ranked):
+    """[(rank, doc_no, score)] -> (score sequence, [{doc_no} per equal-
+    score group]) — ties within a score group may permute between index
+    layouts (tie-break is doc_id order, which a merge renumbers; the
+    reference's heap order is likewise unspecified)."""
+    scores = [s for _, _, s in ranked]
+    groups, cur, cs = [], set(), None
+    for _, d, s in ranked:
+        if cs is None or s != cs:
+            if cur:
+                groups.append(cur)
+            cur, cs = set(), s
+        cur.add(d)
+    if cur:
+        groups.append(cur)
+    return scores, groups
+
+
+@pytest.mark.parametrize("metric,conjunctive",
+                         [("BM25", False), ("BM25", True), ("TFIDF", False)])
+def test_merged_search_equals_full_build(spark, halves, metric, conjunctive):
+    full, merged = halves
+    tf = _topk(full, spark, metric=metric, conjunctive=conjunctive)
+    tm = _topk(merged, spark, metric=metric, conjunctive=conjunctive)
+    assert tf.keys() == tm.keys()
+    for qid in tf:
+        sf, gf = _score_groups(tf[qid])
+        sm, gm = _score_groups(tm[qid])
+        assert sf == sm, qid
+        # last group may be truncated differently by k; earlier must match
+        for i, (a, b) in enumerate(zip(gf, gm)):
+            if i < len(gf) - 1:
+                assert a == b, (qid, i)
+
+
+def test_merged_stats_and_terms_equal_full(spark, halves):
+    full, merged = halves
+    assert merged.n_docs == full.n_docs
+    assert abs(merged.adl - full.adl) < 1e-9
+    t_full = {r["term"]: (r["df"], r["max_tf"]) for r in full.terms.collect()}
+    t_m = {r["term"]: (r["df"], r["max_tf"]) for r in merged.terms.collect()}
+    assert t_full == t_m
+
+
+def test_merged_sidecar_rank_identical_to_full(halves):
+    from pulse_spark.serve import PointServer
+
+    full, merged = halves
+    sf = PointServer(full.out_dir)
+    sm = PointServer(merged.out_dir)
+    assert sm.id_space >= sm.n_docs  # the documented id gap
+    for qid, text in gen_queries():
+        rf = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sf.search(text, k=10))]
+        rm = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sm.search(text, k=10))]
+        s_f, g_f = _score_groups(rf)
+        s_m, g_m = _score_groups(rm)
+        assert s_f == s_m, qid
+        for i, (a, b) in enumerate(zip(g_f, g_m)):
+            if i < len(g_f) - 1:
+                assert a == b, (qid, i)
+
+
+def test_merge_refuses_settings_mismatch(spark, transcripts_path, tmp_path):
+    tr = spark.read.parquet(transcripts_path).limit(50)
+    a = build_persisted_index(spark, tr, str(tmp_path / "sa"), SETTINGS)
+    other = IndexingSettings(term_buckets=4, block_size=32, stemming=False)
+    # disjoint doc_nos via a shifted conv_id so only settings differ
+    tr2 = tr.withColumn("conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    b = build_persisted_index(spark, tr2, str(tmp_path / "sb"), other)
+    with pytest.raises(ValueError, match="settings mismatch"):
+        merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "sm"))
+
+
+def test_merge_refuses_overlapping_doc_nos(spark, transcripts_path, tmp_path):
+    tr = spark.read.parquet(transcripts_path).limit(50)
+    a = build_persisted_index(spark, tr, str(tmp_path / "oa"), SETTINGS)
+    b = build_persisted_index(spark, tr, str(tmp_path / "ob"), SETTINGS)
+    with pytest.raises(ValueError, match="both inputs"):
+        merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "om"))
+
+
+def test_cli_merge_smoke(spark, transcripts_path, tmp_path, capsys):
+    import json
+
+    from pulse_spark import cli
+
+    tr = spark.read.parquet(transcripts_path)
+    a_rows = tr.where(F.col("conv_id") < "c000060")
+    b_rows = tr.where(F.col("conv_id") >= "c000060")
+    build_persisted_index(spark, a_rows, str(tmp_path / "ca"), SETTINGS)
+    build_persisted_index(spark, b_rows, str(tmp_path / "cb"), SETTINGS)
+    rc = cli.main(["merge", "--a", str(tmp_path / "ca"),
+                   "--b", str(tmp_path / "cb"),
+                   "--output", str(tmp_path / "cm")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == tr.count()
+    assert out["segments"] is False
