@@ -86,9 +86,17 @@ def merge_indexes(
     do_segments = seg_a is not None and seg_b is not None
     offset = space_a
 
+    if n_a == 0 or n_b == 0:
+        raise ValueError("refusing to merge an empty index (nothing to do)")
     docs_a = ckpt.read_stage(spark, a_dir, "docs")
     docs_b = ckpt.read_stage(spark, b_dir, "docs")
-    has_ids = "doc_id" in docs_a.columns and "doc_id" in docs_b.columns
+    if sorted(docs_a.columns) != sorted(docs_b.columns):
+        raise ValueError(
+            "docs schema mismatch (e.g. one side built with assign_ids/"
+            f"store_text and the other not): {sorted(docs_a.columns)} != "
+            f"{sorted(docs_b.columns)}"
+        )
+    has_ids = "doc_id" in docs_a.columns
     if do_segments and not has_ids:
         raise ValueError("segment merge needs dense doc_ids on both inputs")
 
@@ -116,6 +124,11 @@ def merge_indexes(
 
     post_a = ckpt.read_stage(spark, a_dir, "postings")
     post_b = ckpt.read_stage(spark, b_dir, "postings")
+    if sorted(post_a.columns) != sorted(post_b.columns):
+        raise ValueError(
+            f"postings schema mismatch: {sorted(post_a.columns)} != "
+            f"{sorted(post_b.columns)}"
+        )
     id_col = "doc_id" if "doc_id" in post_a.columns else "doc_no"
     pb = (
         post_b.withColumn("doc_id", F.col("doc_id") + F.lit(offset))

@@ -96,3 +96,105 @@ def streaming_hourly_counts(spark: SparkSession, input_dir: str, watermark: str 
             "event_type", "n", F.round("sum_value", 6).alias("sum_value"),
         )
     )
+
+
+def compact_stream_index(
+    spark: SparkSession,
+    stream_dir: str,
+    out_dir: str,
+    settings: IndexingSettings = IndexingSettings(),
+    build_segments: bool = True,
+    num_doc_partitions: int | None = None,
+):
+    """Compact accumulated micro-batch deltas into a COMMITTED index —
+    the terminal "merge" of the streaming SPIMI analogy, closing the
+    loop: stream all day into deltas, compact once into the
+    bucketed/sorted layout (+ compressed block segments), then serve it
+    via serve.PointServer or absorb it into the main corpus index with
+    index.merge.merge_indexes — all without ever re-tokenizing a turn
+    (the deltas already hold posting rows; the only per-token work
+    happened in the micro-batches).
+
+    Shuffle profile: doc_id assignment (range partition on the stable
+    key), one doc_no->doc_id equi-join of the posting deltas (no
+    broadcast assumption — AQE picks the strategy), the salted bucket
+    layout shuffle, and the segments range shuffle.  Token-linear Python:
+    none.
+    """
+    from pulse_spark.index import checkpoint as ckpt
+    from pulse_spark.index.persist import Index
+
+    docs_delta = spark.read.parquet(os.path.join(stream_dir, "docs_delta"))
+    postings_delta = spark.read.parquet(
+        os.path.join(stream_dir, "postings_delta")
+    )
+    npart = num_doc_partitions or spark.sparkContext.defaultParallelism
+    manifest = ckpt.load_manifest(out_dir)
+    ckpt.check_settings(manifest, settings)
+    ckpt.save_manifest(out_dir, manifest)
+
+    assign_ids = build_segments
+    d = docs_delta
+    cached = None
+    if assign_ids:
+        d, cached = B.assign_doc_ids(spark, d, npart)
+    meta_cols = ["doc_no", "conv_id", "turn_idx", "doc_len"]
+    if settings.store_text:
+        meta_cols.insert(3, "text")
+    if assign_ids:
+        meta_cols.append("doc_id")
+    docs = ckpt.commit_stage(out_dir, manifest, "docs", d.select(*meta_cols))
+
+    p = postings_delta
+    id_col = "doc_no"
+    if assign_ids:
+        # deltas key postings by doc_no; map to the dense ids via ONE
+        # equi-join against the committed docs stage (never re-tokenize)
+        id_col = "doc_id"
+        p = (
+            p.join(docs.select("doc_no", "doc_id"), "doc_no")
+            .select("term", "doc_id", "doc_len", "tf")
+        )
+    p = B.with_term_bucket(p, settings.term_buckets)
+    # same salted layout as the batch builder (persist.py): a hot term's
+    # postings split across salt_partitions reducers
+    n_salt = max(settings.salt_partitions, 1)
+    if n_salt > 1:
+        salt = F.pmod(F.xxhash64(id_col), F.lit(n_salt))
+        p = p.repartition(settings.term_buckets * n_salt, "bucket", salt)
+    else:
+        p = p.repartition(settings.term_buckets, "bucket")
+    postings = ckpt.commit_stage(
+        out_dir, manifest, "postings", p,
+        partition_by=["bucket"], sort_within=["term", id_col],
+    )
+
+    terms = ckpt.commit_stage(out_dir, manifest, "terms", B.terms_df(postings))
+
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row = B.stats_df(docs).collect()[0]
+    n_docs, adl = int(row["n_docs"]), float(row["adl"])
+    t0 = _time.time()
+    stats_dir = os.path.join(out_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                  "adl": pa.array([adl], pa.float64())}),
+        os.path.join(stats_dir, "part-00000.parquet"),
+    )
+    ckpt.record_stage(spark, out_dir, manifest, "stats",
+                      round(_time.time() - t0, 3))
+    if cached is not None:
+        cached.unpersist()
+
+    if build_segments:
+        from pulse_spark.index import segments as seg
+
+        seg.build_segments(spark, out_dir, manifest, postings, settings)
+
+    return Index(out_dir=out_dir, settings=settings, docs=docs,
+                 postings=postings, terms=terms, n_docs=n_docs, adl=adl)

@@ -84,3 +84,25 @@ def test_tokens_ascii_expr_matches_python_oracle(spark):
 def test_unknown_tokenizer_rejected(docs):
     with pytest.raises(ValueError, match="tokenizer"):
         B.postings_df(docs, IndexingSettings(), tokenizer="bogus")
+
+
+from hypothesis import HealthCheck, given, settings as hsettings
+from hypothesis import strategies as st
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=127), max_size=120
+)
+
+
+@hsettings(max_examples=5, deadline=None,
+           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_ascii_text, min_size=1, max_size=40))
+def test_tokens_expr_hypothesis_parity(spark, texts):
+    """Random ASCII (control chars, fake tags, punctuation soup): the
+    JVM expression pipeline must produce the Python oracle's token list,
+    in order, for every row."""
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(X.tokens_ascii_expr(F.col("text")).alias("t")).collect()
+    ps = PreprocessSettings(stopwords_removal=True, stemming=False)
+    for row, text in zip(got, texts):
+        assert list(row["t"]) == tokens(text, ps), repr(text)

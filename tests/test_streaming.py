@@ -9,6 +9,7 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from pulse_spark.config import IndexingSettings
 from pulse_spark.fixtures import gen_transcripts
@@ -287,3 +288,53 @@ def test_streaming_neardup_equals_batch(spark, tmp_path):
     q2 = start_streaming_neardup(spark, str(src), str(out))
     q2.awaitTermination(120)
     assert stream_pairs(spark, str(out)).count() == len(exp)
+
+
+def test_compact_stream_index_serves_and_merges(spark, stream_dirs, tmp_path):
+    """Stream -> compact -> (sidecar serve | merge into another index):
+    the compacted index must be search-identical to a one-shot batch
+    build with segments over the same transcripts."""
+    import math
+
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.serve import PointServer
+    from pulse_spark.streaming.incremental import compact_stream_index
+
+    src, out, rows = stream_dirs
+    q = start_incremental_build(spark, src, out, SETTINGS)
+    q.awaitTermination(120)
+
+    compacted = compact_stream_index(
+        spark, out, str(tmp_path / "cidx"), SETTINGS, build_segments=True
+    )
+    batch = build_persisted_index(
+        spark, spark.read.parquet(src), str(tmp_path / "bidx"), SETTINGS,
+        build_segments=True,
+    )
+    assert compacted.n_docs == batch.n_docs
+    assert math.isclose(compacted.adl, batch.adl, rel_tol=1e-12)
+
+    sc_, sb_ = PointServer(compacted.out_dir), PointServer(batch.out_dir)
+    some_terms = [r["term"]
+                  for r in compacted.terms.orderBy(F.desc("df")).limit(5).collect()]
+    query = " ".join(some_terms[:3])
+    rc = [(r.doc_no, round(r.score, 9)) for r in sc_.search(query, k=10)]
+    rb = [(r.doc_no, round(r.score, 9)) for r in sb_.search(query, k=10)]
+    assert rc == rb and rc  # identical ids (same dense assignment) + nonempty
+
+    # compacted index participates in merge_indexes like any other
+    from pulse_spark.index.merge import merge_indexes
+
+    tr2 = spark.read.parquet(src).withColumn(
+        "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
+    )
+    other = build_persisted_index(spark, tr2, str(tmp_path / "oidx"),
+                                  SETTINGS, build_segments=True)
+    merged = merge_indexes(spark, compacted.out_dir, other.out_dir,
+                           str(tmp_path / "midx"))
+    assert merged.n_docs == 2 * batch.n_docs
+    rm = [(r.doc_no, round(r.score, 9))
+          for r in PointServer(merged.out_dir).search(query, k=10)]
+    # doubled corpus: same text now exists under both conv prefixes; the
+    # merged server must still return docs scored under the merged stats
+    assert rm and all(s > 0 for _, s in rm)
