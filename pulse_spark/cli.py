@@ -34,14 +34,18 @@ def _spark(args):
     return get_spark(app_name="pulse_spark_cli", master=args.master)
 
 
-def cmd_build(args) -> int:
-    spark = _spark(args)
-    settings = IndexingSettings(
+def _settings_from_args(args) -> IndexingSettings:
+    return IndexingSettings(
         stopwords_removal=not args.no_stopwords,
         stemming=not args.no_stemming,
         compression=not args.no_compression,
         term_buckets=args.term_buckets,
     )
+
+
+def cmd_build(args) -> int:
+    spark = _spark(args)
+    settings = _settings_from_args(args)
     from pulse_spark.index.persist import build_persisted_index
 
     src = spark.read.format(args.format).load(args.input)
@@ -180,6 +184,23 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact streaming deltas into a committed index
+    (streaming/incremental.py::compact_stream_index)."""
+    spark = _spark(args)
+    from pulse_spark.streaming.incremental import compact_stream_index
+
+    # settings come from the stream's own record (they bound the deltas'
+    # tokenization) — no preprocessing flags here on purpose
+    idx = compact_stream_index(spark, args.stream_dir, args.output,
+                               build_segments=not args.no_segments)
+    print(json.dumps({
+        "output": args.output, "n_docs": idx.n_docs,
+        "adl": round(idx.adl, 6), "segments": idx.has_segments,
+    }))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """trec_eval analog (trec_eval/README.md:22-36 workflow): score a
     TREC run file against a qrels file with eval.py's metrics.
@@ -256,6 +277,14 @@ def main(argv=None) -> int:
                    help="with --sidecar: serve via N doc_range shard "
                         "servers + global top-k merge (rank-identical)")
     s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("compact", help="compact streaming deltas into a "
+                                       "committed index (no re-tokenize)")
+    c.add_argument("--stream-dir", required=True,
+                   help="the incremental build's out_dir (deltas)")
+    c.add_argument("--output", required=True)
+    c.add_argument("--no-segments", action="store_true")
+    c.set_defaults(fn=cmd_compact)
 
     m = sub.add_parser("merge", help="merge two committed indexes "
                                      "(batch ingestion, no re-tokenize)")

@@ -40,6 +40,26 @@ def start_incremental_build(
     """Start the stream: parquet files appearing in input_dir are indexed
     into out_dir/{docs_delta,postings_delta}/batch_id=N."""
 
+    # persist the stream's preprocessing settings next to the deltas:
+    # they BIND the delta semantics (postings are already tokenized), so
+    # compaction must reuse them — never trust a caller to re-specify
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    spath = os.path.join(out_dir, "stream_settings.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            prior = json.load(f)
+        if prior != settings.to_dict():
+            raise ValueError(
+                f"stream at {out_dir} was started with {prior}; restarting "
+                f"with {settings.to_dict()} would mix incompatibly "
+                "tokenized deltas"
+            )
+    else:
+        with open(spath, "w") as f:
+            json.dump(settings.to_dict(), f)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         docs = B.docs_df(batch_df)
         # overwrite the batch's own subdir -> idempotent on replay
@@ -102,7 +122,7 @@ def compact_stream_index(
     spark: SparkSession,
     stream_dir: str,
     out_dir: str,
-    settings: IndexingSettings = IndexingSettings(),
+    settings: IndexingSettings | None = None,
     build_segments: bool = True,
     num_doc_partitions: int | None = None,
 ):
@@ -121,8 +141,28 @@ def compact_stream_index(
     layout shuffle, and the segments range shuffle.  Token-linear Python:
     none.
     """
+    import json
+
     from pulse_spark.index import checkpoint as ckpt
     from pulse_spark.index.persist import Index
+
+    # the stream's persisted settings are authoritative (they bound the
+    # tokenization of the deltas); an explicit settings arg must agree
+    spath = os.path.join(stream_dir, "stream_settings.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            stream_settings = IndexingSettings.from_dict(json.load(f))
+        if settings is not None and settings != stream_settings:
+            raise ValueError(
+                f"compact settings {settings.to_dict()} differ from the "
+                f"stream's recorded {stream_settings.to_dict()}"
+            )
+        settings = stream_settings
+    elif settings is None:
+        raise ValueError(
+            f"no stream_settings.json at {stream_dir} and no settings "
+            "given — cannot infer the deltas' tokenization"
+        )
 
     docs_delta = spark.read.parquet(os.path.join(stream_dir, "docs_delta"))
     postings_delta = spark.read.parquet(

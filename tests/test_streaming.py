@@ -338,3 +338,32 @@ def test_compact_stream_index_serves_and_merges(spark, stream_dirs, tmp_path):
     # doubled corpus: same text now exists under both conv prefixes; the
     # merged server must still return docs scored under the merged stats
     assert rm and all(s > 0 for _, s in rm)
+
+
+def test_compact_settings_come_from_stream_record(spark, stream_dirs, tmp_path):
+    """compact must refuse settings that contradict the stream's record,
+    and the CLI compacts with no preprocessing flags at all."""
+    import json as _json
+
+    from pulse_spark import cli
+    from pulse_spark.streaming.incremental import compact_stream_index
+
+    src, out, _rows = stream_dirs  # stream already ran in earlier test
+    other = IndexingSettings(stopwords_removal=True, stemming=False,
+                             term_buckets=4)
+    with pytest.raises(ValueError, match="differ from the stream"):
+        compact_stream_index(spark, out, str(tmp_path / "x"), other)
+
+    rc = cli.main(["compact", "--stream-dir", out,
+                   "--output", str(tmp_path / "cliidx"), "--no-segments"])
+    assert rc == 0
+    import os as _os
+    assert _os.path.isdir(str(tmp_path / "cliidx" / "postings"))
+
+
+def test_stream_restart_refuses_changed_settings(spark, stream_dirs, tmp_path):
+    src, out, _rows = stream_dirs
+    changed = IndexingSettings(stopwords_removal=False, stemming=True,
+                               term_buckets=4)
+    with pytest.raises(ValueError, match="mix incompatibly"):
+        start_incremental_build(spark, src, out, changed)
