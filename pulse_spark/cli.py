@@ -201,6 +201,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents (live-docs semantics, index/deletes.py)."""
+    spark = _spark(args)
+    from pulse_spark.index.deletes import delete_docs
+
+    if args.doc_nos_file:
+        doc_nos = [ln.strip() for ln in open(args.doc_nos_file) if ln.strip()]
+    else:
+        doc_nos = [d for d in args.doc_nos.split(",") if d]
+    n = delete_docs(spark, args.index, doc_nos)
+    print(json.dumps({"index": args.index, "tombstoned": n,
+                      "requested": len(doc_nos)}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Physically drop tombstoned docs into a new index dir."""
+    spark = _spark(args)
+    from pulse_spark.index.deletes import vacuum_index
+
+    idx = vacuum_index(spark, args.index, args.output)
+    print(json.dumps({"output": args.output, "n_docs": idx.n_docs,
+                      "adl": round(idx.adl, 6),
+                      "segments": idx.has_segments}))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """trec_eval analog (trec_eval/README.md:22-36 workflow): score a
     TREC run file against a qrels file with eval.py's metrics.
@@ -294,6 +321,20 @@ def main(argv=None) -> int:
     m.add_argument("--no-disjoint-check", action="store_true",
                    help="skip the doc_no overlap assertion")
     m.set_defaults(fn=cmd_merge)
+
+    dl = sub.add_parser("delete", help="tombstone docs by doc_no "
+                                       "(live-docs semantics)")
+    dl.add_argument("--index", required=True)
+    dl.add_argument("--doc-nos", default="", help="comma-separated doc_nos")
+    dl.add_argument("--doc-nos-file", default=None,
+                    help="file with one doc_no per line")
+    dl.set_defaults(fn=cmd_delete)
+
+    v = sub.add_parser("vacuum", help="rewrite the index without "
+                                      "tombstoned docs (new dir)")
+    v.add_argument("--index", required=True)
+    v.add_argument("--output", required=True)
+    v.set_defaults(fn=cmd_vacuum)
 
     e = sub.add_parser("eval", help="score a TREC run against qrels "
                                     "(trec_eval analog)")

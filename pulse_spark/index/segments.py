@@ -202,6 +202,13 @@ def search_segments(
     manifest = json.load(open(os.path.join(index.out_dir, "manifest.json")))
     compress = index.settings.compression
     n, adl = index.n_docs, index.adl
+    # live-docs tombstones (index/deletes.py): deleted postings are
+    # dropped DURING accumulation (not after top-k) so MaxScore's k-th
+    # threshold never rests on a deleted doc's score — a post-hoc filter
+    # would both under-fill k and make the pruning bound unsafe
+    from pulse_spark.index.deletes import deleted_id_array
+
+    del_ids = deleted_id_array(index.out_dir)
     if metric.upper() not in ("BM25", "TFIDF"):
         raise ValueError(f"{metric} is not a valid metric")
     use_bm25 = metric.upper() == "BM25"
@@ -295,6 +302,13 @@ def search_segments(
                 ids, tfs, lens = decode_payload(
                     ids_bins[ri], tfs_bins[ri], lens_bins[ri], compress
                 )
+                if del_ids is not None and ids.size:
+                    live = ~np.isin(ids.astype(np.int64), del_ids,
+                                    assume_unique=False)
+                    if not live.all():
+                        ids, tfs, lens = ids[live], tfs[live], lens[live]
+                        if ids.size == 0:
+                            continue
                 if use_bm25:
                     part = tfs / (
                         BM25_K1 * ((1 - BM25_B) + BM25_B * (lens / adl)) + tfs

@@ -76,12 +76,17 @@ def topk_from_tables(
     conjunctive: bool = False,
     id_col: str = "doc_no",
     tie_round: int | None = None,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
     """Core scorer over raw index tables.
 
     postings:      (term, <id_col>, tf, doc_len, ...)
     terms:         (term, df, ...)
     q_occurrences: (query_id, pos, term) — one row per token OCCURRENCE
+    deletes:       optional tombstones carrying <id_col> (index/deletes.py
+                   live-docs semantics: excluded from results, stats
+                   untouched) — anti-joined BEFORE top-k selection, so a
+                   page of deleted docs can never under-fill k
     Returns (query_id, rank, <id_col>, score), rank 0-based.
 
     tie_round: if set, ranking orders by round(score, tie_round) so that
@@ -109,6 +114,10 @@ def topk_from_tables(
         )
         per_doc = per_doc.join(F.broadcast(n_terms), "query_id").where(
             F.col("_hit_terms") == F.col("_n_terms")
+        )
+    if deletes is not None:
+        per_doc = per_doc.join(
+            deletes.select(id_col).distinct(), id_col, "left_anti"
         )
 
     order_key = (
@@ -216,9 +225,13 @@ def search_topk(
     # the k·q winners against the docs table (the reference likewise maps
     # internal doc ids to doc numbers only at output, document.go:47-61).
     id_col = "doc_no" if "doc_no" in postings.columns else "doc_id"
+    from pulse_spark.index.deletes import load_deletes
+
+    dels = load_deletes(spark, index.out_dir)
     res = topk_from_tables(
         postings, index.terms, qt, index.n_docs, index.adl,
         k=k, metric=metric, conjunctive=conjunctive, id_col=id_col,
+        deletes=dels,
     )
     if id_col == "doc_id":
         res = (

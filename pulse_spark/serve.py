@@ -93,6 +93,20 @@ class PointServer:
         # dense arrays size by id_space, BM25's N stays the true count
         self.id_space = int(stats.get("id_space") or self.n_docs)
 
+        # live-docs tombstones (index/deletes.py): boolean mask applied
+        # DURING accumulation so deleted docs never join the candidate
+        # set — keeps the MaxScore k-th threshold safe (it must not rest
+        # on a deleted doc's score).  N/ADL/df deliberately unchanged
+        # until vacuum (Lucene live-docs semantics).
+        from pulse_spark.index.deletes import deleted_id_array
+
+        self._deleted: np.ndarray | None = None
+        dels = deleted_id_array(out_dir)
+        if dels is not None and dels.size:
+            m = np.zeros(self.id_space, dtype=bool)
+            m[dels[dels < self.id_space]] = True
+            self._deleted = m
+
         t = pq.read_table(os.path.join(out_dir, "terms"), columns=["term", "df"])
         self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
@@ -255,6 +269,12 @@ class PointServer:
                     part = 1 + np.log(tf)
                 idx = ids.astype(np.int64)
                 sc = w[term] * idf * part
+                if self._deleted is not None:
+                    live = ~self._deleted[idx]
+                    if not live.all():
+                        idx, sc = idx[live], sc[live]
+                        if idx.size == 0:
+                            continue
                 if only_existing:
                     m = matched[idx]
                     acc[idx[m]] += sc[m]

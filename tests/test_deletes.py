@@ -1,0 +1,117 @@
+"""index/deletes.py: live-docs tombstones must remove docs from every
+query path WITHOUT touching surviving docs' scores; vacuum must be
+indistinguishable from a fresh build over the surviving corpus."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.fixtures import gen_queries
+from pulse_spark.index.deletes import delete_docs, vacuum_index
+from pulse_spark.index.persist import build_persisted_index, load_index
+from pulse_spark.query.search import search_topk
+
+SETTINGS = IndexingSettings(term_buckets=4, block_size=32)
+
+
+def _all_results(idx, spark, k=30, **kw):
+    qdf = spark.createDataFrame(gen_queries(), "query_id long, text string")
+    out = {}
+    for r in search_topk(idx, qdf, k=k, **kw).collect():
+        out.setdefault(r["query_id"], {})[r["doc_no"]] = round(r["score"], 9)
+    return out
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, transcripts_path, tmp_path_factory):
+    base = tmp_path_factory.mktemp("delidx")
+    tr = spark.read.parquet(transcripts_path)
+    idx = build_persisted_index(spark, tr, str(base / "idx"), SETTINGS,
+                                build_segments=True)
+    before = _all_results(idx, spark)
+    # delete some docs that actually appear in results (so the test bites)
+    victims = sorted({d for res in before.values() for d in res})[:8]
+    n = delete_docs(spark, idx.out_dir, victims)
+    assert n == len(victims)
+    return idx, before, set(victims)
+
+
+def test_tombstones_remove_without_rescoring(spark, deleted_index):
+    idx, before, victims = deleted_index
+    after = _all_results(load_index(spark, idx.out_dir), spark)
+    for qid, res in after.items():
+        assert not (set(res) & victims), qid
+        # every surviving doc keeps its EXACT pre-delete score (N/df/ADL
+        # untouched until vacuum — the Lucene live-docs contract)
+        for d, s in res.items():
+            if d in before.get(qid, {}):
+                assert math.isclose(s, before[qid][d], rel_tol=1e-12), (qid, d)
+
+
+def test_tombstones_respected_by_segments_and_sidecar(spark, deleted_index):
+    from pulse_spark.index.segments import search_segments
+    from pulse_spark.serve import PointServer, ShardedServer
+
+    idx, _before, victims = deleted_index
+    idx2 = load_index(spark, idx.out_dir)
+    qdf = spark.createDataFrame(gen_queries(), "query_id long, text string")
+    seg = search_segments(spark, idx2, qdf, k=30)
+    seg_ids = {r["doc_id"] for r in seg.collect()}
+    # map victims (doc_no) to ids
+    vic_ids = {
+        r["doc_id"]
+        for r in idx2.docs.where(F.col("doc_no").isin(list(victims))).collect()
+    }
+    assert not (seg_ids & vic_ids)
+
+    srv = PointServer(idx.out_dir)
+    sh = ShardedServer(idx.out_dir, n_shards=2)
+    for _qid, text in gen_queries():
+        for s in (srv, sh):
+            got = {r.doc_no for r in s.search(text, k=30)}
+            assert not (got & victims), text
+
+
+def test_vacuum_equals_fresh_build(spark, transcripts_path, tmp_path):
+    from pulse_spark.serve import PointServer
+
+    tr = spark.read.parquet(transcripts_path)
+    idx = build_persisted_index(spark, tr, str(tmp_path / "v0"), SETTINGS,
+                                build_segments=True)
+    victims = [r["doc_no"] for r in idx.docs.limit(25).collect()]
+    delete_docs(spark, idx.out_dir, victims)
+    vac = vacuum_index(spark, idx.out_dir, str(tmp_path / "v1"))
+
+    kept = tr.join(
+        spark.createDataFrame([(v,) for v in victims], "doc_no string")
+        .select(F.split("doc_no", ":")[0].alias("conv_id"),
+                F.split("doc_no", ":")[1].cast("int").alias("turn_idx")),
+        ["conv_id", "turn_idx"], "left_anti",
+    )
+    fresh = build_persisted_index(spark, kept, str(tmp_path / "v2"), SETTINGS,
+                                  build_segments=True)
+
+    assert vac.n_docs == fresh.n_docs
+    assert math.isclose(vac.adl, fresh.adl, rel_tol=1e-12)
+    tv = {r["term"]: (r["df"], r["max_tf"]) for r in vac.terms.collect()}
+    tf_ = {r["term"]: (r["df"], r["max_tf"]) for r in fresh.terms.collect()}
+    assert tv == tf_
+    # scores now REFLECT the reduced corpus, identically to a fresh build
+    sv, sf = PointServer(vac.out_dir), PointServer(fresh.out_dir)
+    for _qid, text in gen_queries():
+        rv = [(r.doc_no, round(r.score, 9)) for r in sv.search(text, k=10)]
+        rf = [(r.doc_no, round(r.score, 9)) for r in sf.search(text, k=10)]
+        assert rv == rf, text
+
+
+def test_delete_unknown_doc_nos_is_noop(spark, transcripts_path, tmp_path):
+    tr = spark.read.parquet(transcripts_path).limit(30)
+    idx = build_persisted_index(spark, tr, str(tmp_path / "nk"), SETTINGS)
+    assert delete_docs(spark, idx.out_dir, ["nope:0", "also-nope:9"]) == 0
+    # no tombstone dir was created -> search path entirely unaffected
+    import os
+    assert not os.path.isdir(os.path.join(idx.out_dir, "deletes"))
