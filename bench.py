@@ -353,6 +353,304 @@ def run_latency_sidecar(k: int = 10) -> dict:
     }
 
 
+def run_index_size() -> dict:
+    """Index-size accounting (the reference's docs.pdf Table 4.1 story:
+    compressed 310/40 MB vs uncompressed 901/901 MB for postings/freqs).
+    Builds the same ~112k-turn synthetic corpus twice — compression on
+    and off — and reports per-stage bytes + the compressed:raw ratio for
+    the posting payloads (segments carry doc_ids+tfs+doc_lens binaries;
+    doc_lens are uncompressed u4 in both configs by design)."""
+    import tempfile
+
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.fixtures import synth_transcripts_spark
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.session import get_spark
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _d, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    spark = get_spark(app_name="pulse_index_size", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    tmp = tempfile.mkdtemp(prefix="bench_size_")
+    tr = synth_transcripts_spark(spark, 25000).persist()  # ~112k turns
+    n_turns = tr.count()
+    out: dict = {"metric": "index_size_bytes", "unit": "bytes",
+                 "n_turns": n_turns, "configs": {}}
+    for compress in (True, False):
+        d = os.path.join(tmp, "c" if compress else "raw")
+        build_persisted_index(
+            spark, tr, d,
+            IndexingSettings(term_buckets=32, store_text=False,
+                             compression=compress),
+            build_segments=True,
+        )
+        # payload-only bytes (what compression acts on), via parquet
+        # column stats: sum of binary column sizes inside segments
+        import pyarrow.parquet as pq
+
+        payload = {"doc_ids_bin": 0, "tfs_bin": 0, "doc_lens_bin": 0}
+        for root, _dd, files in os.walk(os.path.join(d, "segments")):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if name in payload:
+                            payload[name] += col.total_compressed_size
+        out["configs"]["compressed" if compress else "raw"] = {
+            "stages": {
+                s: du(os.path.join(d, s))
+                for s in ("docs", "postings", "terms", "stats", "segments")
+            },
+            "segment_payload_bytes": payload,
+        }
+    c = out["configs"]["compressed"]["segment_payload_bytes"]
+    r = out["configs"]["raw"]["segment_payload_bytes"]
+    out["ratios"] = {
+        "doc_ids": round(c["doc_ids_bin"] / r["doc_ids_bin"], 3),
+        "tfs": round(c["tfs_bin"] / r["tfs_bin"], 3),
+        "segments_total": round(
+            out["configs"]["compressed"]["stages"]["segments"]
+            / out["configs"]["raw"]["stages"]["segments"], 3),
+    }
+    out["value"] = out["configs"]["compressed"]["stages"]["segments"]
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def run_qps(threads_levels=(1, 4, 8, 16), secs: float = 6.0) -> dict:
+    """Concurrent-clients sidecar throughput: N threads hammer ONE
+    PointServer (shared decoded-block LRU, per-thread result arrays) with
+    the reference query set for `secs` wall seconds per level; reports
+    QPS and p50 under concurrency.  The reference's Table 4.3 is a
+    sequential stream (1 client); this measures the serving-fleet story
+    single-process.  GIL caveat stated in BENCH.md: decode/score are
+    numpy kernels that release the GIL only partially, so intra-process
+    scaling is sublinear — a real fleet runs one process per shard."""
+    import statistics
+    import tempfile
+    import threading
+
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.fixtures import gen_queries, synth_transcripts_spark
+    from pulse_spark.index.persist import build_persisted_index
+    from pulse_spark.serve import PointServer
+    from pulse_spark.session import get_spark
+
+    spark = get_spark(app_name="pulse_qps", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    tmp = tempfile.mkdtemp(prefix="bench_qps_")
+    tr = synth_transcripts_spark(spark, 25000)  # ~112k turns
+    idx_dir = os.path.join(tmp, "idx")
+    build_persisted_index(spark, tr, idx_dir,
+                          IndexingSettings(term_buckets=32),
+                          build_segments=True)
+    spark.stop()
+
+    srv = PointServer(idx_dir)
+    queries = [t for _, t in gen_queries()]
+    for q in queries:  # warm the block cache — steady-state serving
+        srv.search(q, k=10)
+
+    levels: dict = {}
+    for n in threads_levels:
+        stop_at = time.perf_counter() + secs
+        counts = [0] * n
+        lats: list[list[float]] = [[] for _ in range(n)]
+
+        def client(i: int):
+            j = i  # stagger starting offsets across threads
+            while time.perf_counter() < stop_at:
+                t0 = time.perf_counter()
+                srv.search(queries[j % len(queries)], k=10)
+                lats[i].append(time.perf_counter() - t0)
+                counts[i] += 1
+                j += 1
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        all_lat = sorted(x for ls in lats for x in ls)
+        levels[str(n)] = {
+            "qps": round(sum(counts) / wall, 1),
+            "p50_ms": round(statistics.median(all_lat) * 1000, 2),
+            "p90_ms": round(all_lat[int(0.9 * len(all_lat))] * 1000, 2),
+            "n_queries": sum(counts),
+        }
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"metric": "sidecar_concurrent_qps", "unit": "qps",
+            "value": levels[str(threads_levels[-1])]["qps"],
+            "secs_per_level": secs, "levels": levels}
+
+
+REHEARSAL_FACTOR = int(os.environ.get("PULSE_REHEARSAL_FACTOR", "10"))
+
+
+def _gen_rehearsal(out_dir: str, factor: int = REHEARSAL_FACTOR) -> None:
+    """Deterministic `factor`x scale-up of the three tables the query
+    suite reads (documents/embeddings/events), written once to out_dir.
+
+    Replica semantics are chosen so every operator's output cardinality
+    scales PREDICTABLY (the rehearsal measures wall-vs-scale, and a
+    replica scheme that manufactures 45 near-dup pairs per original doc
+    would measure the data generator, not the engine):
+
+    - documents: replica r shuffles each doc's words with a
+      (doc_id, r)-seeded rng — same token multiset (term_tf/BM25 stats
+      scale exactly) but shingle overlap is destroyed, so MinHash/SimHash
+      near-dup structure does NOT explode across replicas; every 3rd
+      vocabulary word (stable crc32 subset) gets a per-replica suffix, so
+      the lexicon grows ~4x and df spreads into a long tail.
+    - embeddings: replicas get freshly generated unit-scale Gaussian
+      vectors (near-orthogonal — no cosine near-dup explosion).
+    - events: replicas remap event_id/user_id into disjoint ranges;
+      session structure per user is preserved exactly.
+    """
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+
+    d = pq.read_table(os.path.join(src, "documents.parquet")).to_pydict()
+    suffix_word = {
+        w: zlib.crc32(w.encode()) % 3 == 0
+        for t in d["text"] for w in t.split()
+    }
+    cols = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    for r in range(factor):
+        for i, did in enumerate(d["doc_id"]):
+            if r == 0:
+                txt = d["text"][i]
+            else:
+                words = d["text"][i].split()
+                rng = np.random.default_rng(did * 31 + r)
+                rng.shuffle(words)
+                words = [
+                    f"{w}_r{r}" if suffix_word[w] else w for w in words
+                ]
+                txt = " ".join(words)
+            cols["doc_id"].append(did + r * 10_000_000)
+            cols["text"].append(txt)
+            cols["lang"].append(d["lang"][i])
+            cols["source"].append(d["source"][i])
+            cols["n_chars"].append(len(txt))
+    pq.write_table(pa.table(cols), os.path.join(out_dir, "documents.parquet"))
+
+    e = pq.read_table(os.path.join(src, "embeddings.parquet")).to_pydict()
+    dim = len(e["embedding"][0])
+    ecols = {"vec_id": [], "embedding": [], "label": []}
+    for r in range(factor):
+        for i, vid in enumerate(e["vec_id"]):
+            ecols["vec_id"].append(vid + r * 10_000_000)
+            if r == 0:
+                ecols["embedding"].append(e["embedding"][i])
+            else:
+                rng = np.random.default_rng(vid * 131 + r)
+                ecols["embedding"].append(
+                    rng.standard_normal(dim).astype(np.float32).tolist()
+                )
+            ecols["label"].append(e["label"][i])
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ecols["vec_id"], pa.int64()),
+            "embedding": pa.array(ecols["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(ecols["label"], pa.int32()),
+        }),
+        os.path.join(out_dir, "embeddings.parquet"),
+    )
+
+    ev = pq.read_table(os.path.join(src, "events.parquet"))
+    parts = []
+    for r in range(factor):
+        t = ev
+        if r:
+            import pyarrow.compute as pc
+
+            t = ev.set_column(
+                ev.schema.get_field_index("event_id"), "event_id",
+                pc.add(ev["event_id"], r * 1_000_000_000))
+            t = t.set_column(
+                t.schema.get_field_index("user_id"), "user_id",
+                pc.add(ev["user_id"], r * 1_000_000))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts),
+                   os.path.join(out_dir, "events.parquet"))
+
+
+# exact all-pairs n-gram Jaccard is the LABELED quadratic oracle twin of
+# minhash_lsh_pairs (50k docs -> 1.25G candidate pairs) — a rehearsal of
+# it would measure the oracle, not the engine
+REHEARSAL_SKIP = {"ngram_jaccard_pairs"}
+
+
+def run_rehearsal(dir_arg: str | None = None) -> dict:
+    """Scale rehearsal: the FULL query suite (every queries() entry minus
+    REHEARSAL_SKIP) at `REHEARSAL_FACTOR`x sf0.1 — catches operators
+    whose constant factors hide at sf0.1.  BENCH.md compares each wall
+    to its sf0.1 twin; anything growing >factor gets a named plan fix."""
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    from pulse_spark.session import get_spark
+
+    out_dir = dir_arg or os.path.join(tempfile.gettempdir(), "pulse_sf1")
+    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+        t0 = time.time()
+        _gen_rehearsal(out_dir)
+        print(f"# generated rehearsal tables in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    spark = get_spark(app_name="pulse_rehearsal", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qs = entrymod.queries()
+    from pulse_spark import harness as _h
+
+    qs["doc_stats"](spark, out_dir).collect()  # warm workers (untimed)
+    t0 = time.time()
+    _h._postings(spark, out_dir).count()
+    _h._terms(spark, out_dir).count()
+    _h._stats(spark, out_dir)
+    cache_build = round(time.time() - t0, 3)
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in qs.items():
+        if name in REHEARSAL_SKIP:
+            continue
+        t0 = time.time()
+        rows[name] = len(fn(spark, out_dir).collect())
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()) + cache_build, 3)
+    spark.stop()
+    return {
+        "metric": "rehearsal_total_sec", "value": total, "unit": "sec",
+        "factor_vs_sf0.1": REHEARSAL_FACTOR, "cache_build_sec": cache_build,
+        "queries": times, "rows": rows,
+        "skipped": sorted(REHEARSAL_SKIP),
+    }
+
+
 def run_host_ceiling() -> dict:
     """Spark-free control experiment: how well does ANY memory-heavy
     parallel workload scale 8->32 procs on this VM?  Runs the engine's own
@@ -481,6 +779,14 @@ if __name__ == "__main__":
         print(json.dumps(run_host_ceiling_jvm()))
     elif "--host-ceiling" in sys.argv:
         print(json.dumps(run_host_ceiling()))
+    elif "--rehearsal" in sys.argv:
+        i = sys.argv.index("--rehearsal")
+        d = sys.argv[i + 1] if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-") else None
+        print(json.dumps(run_rehearsal(d)))
+    elif "--index-size" in sys.argv:
+        print(json.dumps(run_index_size()))
+    elif "--qps" in sys.argv:
+        print(json.dumps(run_qps()))
     elif "--latency-sidecar" in sys.argv:
         k = (
             int(sys.argv[sys.argv.index("-k") + 1])

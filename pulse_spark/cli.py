@@ -169,13 +169,14 @@ def cmd_search(args) -> int:
 
 
 def cmd_merge(args) -> int:
-    """Merge two committed indexes (index/merge.py): batch ingestion
-    without re-tokenizing — touches index artifacts only."""
+    """Merge two or more committed indexes (index/merge.py): batch
+    ingestion without re-tokenizing — touches index artifacts only."""
     spark = _spark(args)
-    from pulse_spark.index.merge import merge_indexes
+    from pulse_spark.index.merge import merge_many
 
-    idx = merge_indexes(spark, args.a, args.b, args.output,
-                        check_disjoint=not args.no_disjoint_check)
+    in_dirs = [args.a, args.b, *(args.inputs or [])]
+    idx = merge_many(spark, in_dirs, args.output,
+                     check_disjoint=not args.no_disjoint_check)
     print(json.dumps({
         "output": args.output, "n_docs": idx.n_docs,
         "adl": round(idx.adl, 6),
@@ -313,10 +314,13 @@ def main(argv=None) -> int:
     c.add_argument("--no-segments", action="store_true")
     c.set_defaults(fn=cmd_compact)
 
-    m = sub.add_parser("merge", help="merge two committed indexes "
-                                     "(batch ingestion, no re-tokenize)")
+    m = sub.add_parser("merge", help="merge two or more committed indexes"
+                                     " (batch ingestion, no re-tokenize)")
     m.add_argument("--a", required=True, help="first index dir")
     m.add_argument("--b", required=True, help="second index dir (absorbed)")
+    m.add_argument("--input", dest="inputs", action="append", default=[],
+                   help="additional index dir (repeatable; N-way merge "
+                        "runs as ONE union pass, not a pairwise fold)")
     m.add_argument("--output", required=True)
     m.add_argument("--no-disjoint-check", action="store_true",
                    help="skip the doc_no overlap assertion")

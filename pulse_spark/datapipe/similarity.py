@@ -105,6 +105,14 @@ def lsh_buckets(
 # auto-bits sizing cache: keyed on (applicationId, semantic plan hash) so
 # repeated calls over the same input don't re-run a full-scan count job
 # per query invocation; a new session (or a different input plan) misses.
+# STALENESS ASSUMPTION (documented, deliberate): re-reading the SAME path
+# after its files changed mid-session produces an identical plan hash and
+# returns the stale count.  That is acceptable here because the count
+# only sizes LSH bits / IVF samples (a 2x-off corpus count moves the
+# bucket-width heuristic, never correctness), and index inputs in this
+# engine are immutable committed directories.  Callers who mutate a path
+# in-session can bust the key themselves: df.withColumn("_epoch",
+# F.lit(token)) changes the semantic hash.
 _COUNT_CACHE: dict = {}
 
 

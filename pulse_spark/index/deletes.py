@@ -19,9 +19,14 @@ Semantics are Lucene's live-docs model, stated explicitly:
       re-derived from text.
 
 Tombstones are an append-only parquet dir (out_dir/deletes/): each
-delete_docs call appends (doc_no, doc_id) rows — no read-modify-write,
-so concurrent deleters can't lose each other's tombstones; duplicates
-are harmless (every consumer treats the set as membership).
+delete_docs call writes (doc_no, doc_id) rows into its OWN uuid-named
+subdirectory — no read-modify-write, and no two writers ever share an
+output path (concurrent `mode("append")` jobs into one directory share
+the FileOutputCommitter's `_temporary` staging dir and can clobber each
+other's commits; per-call subdirs make concurrent deleters safe by
+construction).  Duplicates across calls are harmless (every consumer
+treats the set as membership).  Readers list the tree recursively, so
+pre-subdir flat layouts keep working.
 
 Scale note: query paths consume tombstones as an anti-join (DataFrame
 path — arbitrarily large delete sets) or as an in-memory sorted id array
@@ -61,7 +66,11 @@ def delete_docs(spark: SparkSession, out_dir: str, doc_nos) -> int:
         resolved = resolved.withColumn("doc_id", F.lit(None).cast("long"))
     n = resolved.count()
     if n:
-        resolved.write.mode("append").parquet(_deletes_dir(out_dir))
+        import uuid
+
+        resolved.write.mode("overwrite").parquet(
+            os.path.join(_deletes_dir(out_dir), uuid.uuid4().hex)
+        )
     return n
 
 
@@ -70,7 +79,10 @@ def load_deletes(spark: SparkSession, out_dir: str) -> DataFrame | None:
     d = _deletes_dir(out_dir)
     if not os.path.isdir(d):
         return None
-    return spark.read.parquet(d)
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(d)
+        .select("doc_no", "doc_id")
+    )
 
 
 def deleted_id_array(out_dir: str) -> np.ndarray | None:
@@ -90,13 +102,12 @@ def deleted_id_array(out_dir: str) -> np.ndarray | None:
     return np.unique(ids.astype(np.int64))
 
 
-def vacuum_index(spark: SparkSession, in_dir: str, out_dir: str):
+def vacuum_index(spark: SparkSession, in_dir: str, out_dir: str,
+                 num_doc_partitions: int | None = None):
     """Physically drop tombstoned docs: write a NEW committed index over
     the survivors (see module docstring for semantics).  Returns the new
     Index."""
     import json
-
-    from pyspark.sql import Window
 
     from pulse_spark.config import IndexingSettings
     from pulse_spark.index import build as B
@@ -119,18 +130,22 @@ def vacuum_index(spark: SparkSession, in_dir: str, out_dir: str):
 
     has_ids = "doc_id" in docs.columns
     id_map = None
+    parted = None
     if has_ids:
         # dense re-rank over the survivors: same deterministic key as the
         # builder (rank of (conv_id, turn_idx)), so a vacuumed index is
-        # bit-compatible with a fresh build over the surviving corpus
-        w = Window.orderBy("conv_id", "turn_idx")
-        # a global window is acceptable here ONLY because it never sees
-        # text — (old_id, new_id) pairs are 16 bytes/doc; for 10^12-doc
-        # vacuums swap in assign_doc_ids' range-partitioned two-phase
-        id_map = docs.select(
-            F.col("doc_id").alias("_old_id"), "conv_id", "turn_idx"
-        ).withColumn("doc_id", F.row_number().over(w).cast("long") - 1) \
-            .select("_old_id", "doc_id")
+        # bit-compatible with a fresh build over the surviving corpus.
+        # assign_doc_ids is the builder's range-partitioned two-phase
+        # numbering (no global window — the 10^12-doc-safe path); the
+        # id_map rows carry only ids + the 2-column key, never text.
+        npart = num_doc_partitions or spark.sparkContext.defaultParallelism
+        mapped, parted = B.assign_doc_ids(
+            spark,
+            docs.select(F.col("doc_id").alias("_old_id"),
+                        "conv_id", "turn_idx"),
+            npart,
+        )
+        id_map = mapped.select("_old_id", "doc_id")
         docs = (
             docs.withColumnRenamed("doc_id", "_old_id")
             .join(id_map, "_old_id")
@@ -161,6 +176,8 @@ def vacuum_index(spark: SparkSession, in_dir: str, out_dir: str):
         out_dir, manifest, "postings", postings,
         partition_by=["bucket"], sort_within=["term", id_col],
     )
+    if parted is not None:
+        parted.unpersist()
 
     terms = ckpt.commit_stage(out_dir, manifest, "terms", B.terms_df(postings))
 

@@ -1,27 +1,35 @@
-"""Merge two committed indexes into one — the artifact-level analog of
-the reference's SPIMI partial-index merge (spimi.go:123-228), re-expressed
+"""Merge committed indexes into one — the artifact-level analog of the
+reference's SPIMI partial-index merge (spimi.go:123-228), re-expressed
 over the parquet stage layout.
 
 Why it exists: a production corpus arrives in batches (daily transcript
 drops, per-tenant backfills).  Rebuilding 10^12 turns to add 10^9 is a
-non-starter; merging two committed indexes touches only index artifacts
+non-starter; merging committed indexes touches only index artifacts
 (postings/terms/stats/segments), never the source text, and every step is
 a union + aggregation — no tokenization, no per-token work at all.
 
-Mechanics (A absorbs B; doc_nos must be disjoint across inputs):
+Mechanics (N-way; doc_nos must be disjoint across inputs; input i's
+doc_ids are shifted by the cumulative id_space of inputs 0..i-1):
 
-  docs      union, B.doc_id += offset
-  postings  union, B.doc_id += offset; bucket values are identical on
-            both sides (same term_buckets -> same xxhash64 bucketing), so
-            the merged layout keeps partition pruning with NO shuffle
+  docs      union, input_i.doc_id += offset_i
+  postings  union, shifted; bucket values are identical on every side
+            (same term_buckets -> same xxhash64 bucketing), so the
+            merged layout keeps partition pruning with NO shuffle
   terms     groupBy(term): df = sum, max_tf = max  (lexicon.go:37-42)
-  stats     n = n_a + n_b, adl = weighted mean, fingerprint = xor-combine
+  stats     n = Σ n_i, adl = weighted mean, fingerprint = xor-combine
             (the input fingerprint is an order-independent xor, so merge
             composes it exactly)
-  segments  ONE linear mapInPandas pass over the union of both sides'
-            blocks: B's doc_ids are shifted and its blocks re-split onto
-            A's doc_range grid (batches of different sizes build with
-            different range_size — np.searchsorted at the range
+  deletes   tombstones (index/deletes.py) are CARRIED FORWARD: each
+            input's (doc_no, doc_id) rows are doc_id-shifted by that
+            input's offset and written into the output's deletes/ tree,
+            so a doc deleted before the merge stays deleted after it
+            (takedown safety — merging must never resurrect).  Live-docs
+            semantics are preserved: merged N/ADL/df still count the
+            tombstoned docs, exactly as they did in the input.
+  segments  ONE linear mapInPandas pass over the union of all sides'
+            blocks: each input's doc_ids are shifted and its blocks
+            re-split onto the FIRST input's doc_range grid (inputs may
+            have different range_size — np.searchsorted at the range
             boundaries, no sorting); and per-block max_part is
             RECOMPUTED for every block at the MERGED ADL.  The recompute
             is a correctness requirement, not housekeeping: max_part is
@@ -29,10 +37,10 @@ Mechanics (A absorbs B; doc_nos must be disjoint across inputs):
             (smaller) ADL understates scores under the merged ADL and
             would make MaxScore pruning drop true top-k docs.
 
-doc_id offset = A's id_space exactly (no padding), so merged ids stay
-dense; stats still records `id_space` explicitly (= offset + B's
-id_space) so dense-accumulator consumers (serve.PointServer) never have
-to assume density.
+doc_id offset = the cumulative id_space exactly (no padding), so merged
+ids stay dense; stats still records `id_space` explicitly so
+dense-accumulator consumers (serve.PointServer) never have to assume
+density.
 """
 
 from __future__ import annotations
@@ -54,55 +62,85 @@ def merge_indexes(
     out_dir: str,
     check_disjoint: bool = True,
 ) -> Index:
-    """Merge committed indexes at a_dir and b_dir into out_dir.
+    """Two-way convenience form of merge_many (A absorbs B)."""
+    return merge_many(spark, [a_dir, b_dir], out_dir,
+                      check_disjoint=check_disjoint)
 
-    Requires identical IndexingSettings on both inputs (an index's
+
+def merge_many(
+    spark: SparkSession,
+    in_dirs: list[str],
+    out_dir: str,
+    check_disjoint: bool = True,
+) -> Index:
+    """Merge N committed indexes into out_dir in ONE pass (a pairwise
+    fold would rewrite the accumulated artifacts N-1 times; this unions
+    all inputs once — the same single-pass shape as the reference's
+    N-way SPIMI merge, spimi.go:123-146, which heap-merges all partial
+    indexes together rather than two at a time).
+
+    Requires identical IndexingSettings on all inputs (an index's
     preprocessing binds its query path — engine.go:38-43 — so merging
     differently-preprocessed indexes would corrupt semantics).  Segments
-    are merged iff BOTH inputs have them (and share range_size).
+    are merged iff ALL inputs have them; inputs may have DIFFERENT
+    range_size — every side's blocks are re-split onto the first input's
+    range grid (the module docstring's linear pass).
 
-    check_disjoint: assert no doc_no occurs in both inputs (one count
-    aggregation over the two docs tables — cheap next to the postings
-    union; disable for trusted disjoint batches)."""
-    ma = ckpt.load_manifest(a_dir)
-    mb = ckpt.load_manifest(b_dir)
-    if ma["settings"] is None or mb["settings"] is None:
-        raise FileNotFoundError("both inputs must be committed indexes")
-    if ma["settings"] != mb["settings"]:
-        raise ValueError(
-            f"settings mismatch: {ma['settings']} != {mb['settings']} — "
-            "an index's preprocessing binds its query semantics"
-        )
-    settings = IndexingSettings.from_dict(ma["settings"])
+    check_disjoint: assert no doc_no occurs in two inputs (one count
+    aggregation over the union of docs tables — cheap next to the
+    postings union; disable for trusted disjoint batches)."""
+    if len(in_dirs) < 2:
+        raise ValueError("merge needs at least two inputs")
+    manifests = [ckpt.load_manifest(d) for d in in_dirs]
+    for d, m in zip(in_dirs, manifests):
+        if m["settings"] is None:
+            raise FileNotFoundError(f"{d} is not a committed index")
+        if m["settings"] != manifests[0]["settings"]:
+            raise ValueError(
+                f"settings mismatch: {manifests[0]['settings']} != "
+                f"{m['settings']} ({d}) — an index's preprocessing binds "
+                "its query semantics"
+            )
+    settings = IndexingSettings.from_dict(manifests[0]["settings"])
 
-    sa = ckpt.read_stage(spark, a_dir, "stats").collect()[0]
-    sb = ckpt.read_stage(spark, b_dir, "stats").collect()[0]
-    n_a, n_b = int(sa["n_docs"]), int(sb["n_docs"])
-    # id_space of A (≥ n_docs when A is itself a gap-carrying merge)
-    space_a = int(sa["id_space"]) if "id_space" in sa.asDict() else n_a
-
-    seg_a = ma.get("stages", {}).get("segments")
-    seg_b = mb.get("stages", {}).get("segments")
-    do_segments = seg_a is not None and seg_b is not None
-    offset = space_a
-
-    if n_a == 0 or n_b == 0:
+    stats_rows = [
+        ckpt.read_stage(spark, d, "stats").collect()[0] for d in in_dirs
+    ]
+    n_i = [int(s["n_docs"]) for s in stats_rows]
+    # id_space (≥ n_docs when an input is itself a gap-carrying merge)
+    space_i = [
+        int(s["id_space"]) if "id_space" in s.asDict() else int(s["n_docs"])
+        for s in stats_rows
+    ]
+    if any(n == 0 for n in n_i):
         raise ValueError("refusing to merge an empty index (nothing to do)")
-    docs_a = ckpt.read_stage(spark, a_dir, "docs")
-    docs_b = ckpt.read_stage(spark, b_dir, "docs")
-    if sorted(docs_a.columns) != sorted(docs_b.columns):
-        raise ValueError(
-            "docs schema mismatch (e.g. one side built with assign_ids/"
-            f"store_text and the other not): {sorted(docs_a.columns)} != "
-            f"{sorted(docs_b.columns)}"
-        )
-    has_ids = "doc_id" in docs_a.columns
+    offsets = [0]
+    for sp in space_i[:-1]:
+        offsets.append(offsets[-1] + sp)
+    id_space = offsets[-1] + space_i[-1]
+
+    seg_meta = [m.get("stages", {}).get("segments") for m in manifests]
+    do_segments = all(s is not None for s in seg_meta)
+
+    docs_in = [ckpt.read_stage(spark, d, "docs") for d in in_dirs]
+    for d, df in zip(in_dirs, docs_in):
+        if sorted(df.columns) != sorted(docs_in[0].columns):
+            raise ValueError(
+                "docs schema mismatch (e.g. one side built with assign_ids/"
+                f"store_text and the other not): {sorted(docs_in[0].columns)}"
+                f" != {sorted(df.columns)} ({d})"
+            )
+    has_ids = "doc_id" in docs_in[0].columns
     if do_segments and not has_ids:
-        raise ValueError("segment merge needs dense doc_ids on both inputs")
+        raise ValueError("segment merge needs dense doc_ids on all inputs")
 
     if check_disjoint:
+        union_nos = docs_in[0].select("doc_no")
+        for df in docs_in[1:]:
+            union_nos = union_nos.unionByName(df.select("doc_no"))
         dup = (
-            docs_a.select("doc_no").intersect(docs_b.select("doc_no")).limit(1).collect()
+            union_nos.groupBy("doc_no").count()
+            .where(F.col("count") > 1).limit(1).collect()
         )
         if dup:
             raise ValueError(
@@ -112,39 +150,51 @@ def merge_indexes(
 
     manifest = ckpt.load_manifest(out_dir)
     manifest["settings"] = settings.to_dict()
-    manifest["merged_from"] = [os.path.abspath(a_dir), os.path.abspath(b_dir)]
+    manifest["merged_from"] = [os.path.abspath(d) for d in in_dirs]
     ckpt.save_manifest(out_dir, manifest)
 
-    def _shift(df):
-        return df.withColumn("doc_id", F.col("doc_id") + F.lit(offset)) if has_ids else df
-
-    docs = ckpt.commit_stage(
-        out_dir, manifest, "docs", docs_a.unionByName(_shift(docs_b))
-    )
-
-    post_a = ckpt.read_stage(spark, a_dir, "postings")
-    post_b = ckpt.read_stage(spark, b_dir, "postings")
-    if sorted(post_a.columns) != sorted(post_b.columns):
-        raise ValueError(
-            f"postings schema mismatch: {sorted(post_a.columns)} != "
-            f"{sorted(post_b.columns)}"
+    def _shift(df, off):
+        return (
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+            if has_ids and off else df
         )
-    id_col = "doc_id" if "doc_id" in post_a.columns else "doc_no"
-    pb = (
-        post_b.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
-        if id_col == "doc_id" else post_b
-    )
+
+    docs_u = _shift(docs_in[0], 0)
+    for df, off in zip(docs_in[1:], offsets[1:]):
+        docs_u = docs_u.unionByName(_shift(df, off))
+    docs = ckpt.commit_stage(out_dir, manifest, "docs", docs_u)
+
+    posts_in = [ckpt.read_stage(spark, d, "postings") for d in in_dirs]
+    for d, df in zip(in_dirs, posts_in):
+        if sorted(df.columns) != sorted(posts_in[0].columns):
+            raise ValueError(
+                f"postings schema mismatch: {sorted(posts_in[0].columns)} != "
+                f"{sorted(df.columns)} ({d})"
+            )
+    id_col = "doc_id" if "doc_id" in posts_in[0].columns else "doc_no"
+
+    def _shift_p(df, off):
+        return (
+            df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+            if id_col == "doc_id" and off else df
+        )
+
+    posts_u = posts_in[0]
+    for df, off in zip(posts_in[1:], offsets[1:]):
+        posts_u = posts_u.unionByName(_shift_p(df, off))
     postings = ckpt.commit_stage(
-        out_dir, manifest, "postings", post_a.unionByName(pb),
+        out_dir, manifest, "postings", posts_u,
         partition_by=["bucket"], sort_within=["term", id_col],
     )
 
+    terms_u = ckpt.read_stage(spark, in_dirs[0], "terms")
+    for d in in_dirs[1:]:
+        terms_u = terms_u.unionByName(ckpt.read_stage(spark, d, "terms"))
     terms = ckpt.commit_stage(
         out_dir, manifest, "terms",
-        ckpt.read_stage(spark, a_dir, "terms")
-        .unionByName(ckpt.read_stage(spark, b_dir, "terms"))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")),
+        terms_u.groupBy("term").agg(
+            F.sum("df").alias("df"), F.max("max_tf").alias("max_tf")
+        ),
     )
 
     # stats: weighted-exact mean; fingerprint xor-composes when present
@@ -153,11 +203,8 @@ def merge_indexes(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n = n_a + n_b
-    adl = (float(sa["adl"]) * n_a + float(sb["adl"]) * n_b) / n
-    id_space = offset + (
-        int(sb["id_space"]) if "id_space" in sb.asDict() else n_b
-    )
+    n = sum(n_i)
+    adl = sum(float(s["adl"]) * ni for s, ni in zip(stats_rows, n_i)) / n
     t0 = _time.time()
     stats_dir = os.path.join(out_dir, "stats")
     os.makedirs(stats_dir, exist_ok=True)
@@ -171,26 +218,59 @@ def merge_indexes(
     )
     ckpt.record_stage(spark, out_dir, manifest, "stats",
                       round(_time.time() - t0, 3))
-    fa, fb = ma.get("input_fingerprint"), mb.get("input_fingerprint")
-    if fa and fb:
-        manifest["input_fingerprint"] = {
-            "rows": fa["rows"] + fb["rows"], "xor": fa["xor"] ^ fb["xor"]
-        }
+    fps = [m.get("input_fingerprint") for m in manifests]
+    if all(fps):
+        fp = {"rows": 0, "xor": 0}
+        for f in fps:
+            fp["rows"] += f["rows"]
+            fp["xor"] ^= f["xor"]
+        manifest["input_fingerprint"] = fp
         ckpt.save_manifest(out_dir, manifest)
 
+    _merge_tombstones(spark, in_dirs, offsets, out_dir)
+
     if do_segments:
-        _merge_segments(spark, a_dir, b_dir, out_dir, manifest, settings,
-                        offset, int(seg_a["range_size"]), id_space, adl)
+        _merge_segments(spark, in_dirs, out_dir, manifest, settings,
+                        offsets, int(seg_meta[0]["range_size"]),
+                        id_space, adl)
 
     return Index(out_dir=out_dir, settings=settings, docs=docs,
                  postings=postings, terms=terms, n_docs=n, adl=adl)
 
 
-def _merge_segments(spark, a_dir, b_dir, out_dir, manifest, settings,
-                    offset, range_size, id_space, adl):
-    """One linear pass over both sides' blocks (see module docstring):
-    shift+re-split B onto A's range grid, recompute max_part everywhere
-    at the merged ADL.  Embarrassingly parallel; never sorts."""
+def _merge_tombstones(spark, in_dirs, offsets, out_dir):
+    """Carry every input's live-docs tombstones into the output with its
+    doc_ids shifted by the same offset the docs union used — deleting
+    then merging must equal merging then deleting (takedown safety;
+    pinned in tests/test_merge.py).  O(deleted) rows, zero cost when no
+    input has tombstones."""
+    from pulse_spark.index.deletes import load_deletes
+
+    parts = []
+    for d, off in zip(in_dirs, offsets):
+        dels = load_deletes(spark, d)
+        if dels is None:
+            continue
+        # null doc_id (a no-dense-ids build) stays null under the shift
+        parts.append(dels.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
+    if not parts:
+        return
+    import uuid
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "deletes", uuid.uuid4().hex)
+    )
+
+
+def _merge_segments(spark, in_dirs, out_dir, manifest, settings,
+                    offsets, range_size, id_space, adl):
+    """One linear pass over every side's blocks (see module docstring):
+    shift + re-split each input onto the first input's range grid,
+    recompute max_part everywhere at the merged ADL.  Embarrassingly
+    parallel; never sorts."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -249,16 +329,15 @@ def _merge_segments(spark, a_dir, b_dir, out_dir, manifest, settings,
         return blocks_pass
 
     cols = [f.name for f in SEGMENT_SCHEMA.fields]
-    sa = (
-        ckpt.read_stage(spark, a_dir, "segments").select(*cols)
-        .mapInPandas(make_pass(0), SEGMENT_SCHEMA)
-    )
-    sb = (
-        ckpt.read_stage(spark, b_dir, "segments").select(*cols)
-        .mapInPandas(make_pass(offset), SEGMENT_SCHEMA)
-    )
+    union = None
+    for d, off in zip(in_dirs, offsets):
+        side = (
+            ckpt.read_stage(spark, d, "segments").select(*cols)
+            .mapInPandas(make_pass(off), SEGMENT_SCHEMA)
+        )
+        union = side if union is None else union.unionByName(side)
     ckpt.commit_stage(
-        out_dir, manifest, "segments", sa.unionByName(sb),
+        out_dir, manifest, "segments", union,
         partition_by=["doc_range"], sort_within=["term", "min_doc_id"],
     )
     manifest["stages"]["segments"]["range_size"] = rs

@@ -88,10 +88,26 @@ class PointServer:
         stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
         self.n_docs = int(stats["n_docs"])
         self.adl = float(stats["adl"])
-        # merged indexes (index/merge.py) round the absorbed side's id
-        # offset up to a whole doc_range, leaving a gap in the id space:
-        # dense arrays size by id_space, BM25's N stays the true count
+        # a merged index (index/merge.py) may carry id-space gaps when an
+        # input was itself a gap-carrying merge: dense arrays size by the
+        # recorded id_space, BM25's N stays the true doc count.  (The
+        # merge offset itself is exact — cumulative id_space, no padding.)
         self.id_space = int(stats.get("id_space") or self.n_docs)
+
+        # shard envelope: a shard server's dense accumulators cover ONLY
+        # its own contiguous doc_id span (doc_range slice × range_size),
+        # so N shards together hold ~1× the corpus in accumulator memory,
+        # not N× — the memory half of sharding.  _base/_span stay
+        # (0, id_space) for a whole-index server.
+        seg_meta = manifest["stages"]["segments"]
+        rs = int(seg_meta.get("range_size") or 0)
+        if self.doc_ranges is not None and rs:
+            self._base = min(self.doc_ranges) * rs
+            self._span = min(
+                (max(self.doc_ranges) + 1) * rs, self.id_space
+            ) - self._base
+        else:
+            self._base, self._span = 0, self.id_space
 
         # live-docs tombstones (index/deletes.py): boolean mask applied
         # DURING accumulation so deleted docs never join the candidate
@@ -103,9 +119,12 @@ class PointServer:
         self._deleted: np.ndarray | None = None
         dels = deleted_id_array(out_dir)
         if dels is not None and dels.size:
-            m = np.zeros(self.id_space, dtype=bool)
-            m[dels[dels < self.id_space]] = True
-            self._deleted = m
+            local = dels - self._base
+            local = local[(local >= 0) & (local < self._span)]
+            if local.size:
+                m = np.zeros(self._span, dtype=bool)
+                m[local] = True
+                self._deleted = m
 
         t = pq.read_table(os.path.join(out_dir, "terms"), columns=["term", "df"])
         self.df = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
@@ -134,18 +153,29 @@ class PointServer:
         ]
         # LRU of DECODED per-term blocks — repeated/hot query terms skip
         # both the parquet read and the varint/unary decode (the analog
-        # of the reference's OS page cache over its mmap'd postings)
+        # of the reference's OS page cache over its mmap'd postings).
+        # Guarded by a lock: searches from concurrent threads share the
+        # cache safely (everything else a search touches is either a
+        # function-local array or a read-only structure).
+        import threading
         from collections import OrderedDict
 
         self._cache_terms = cache_terms
         self._block_cache: OrderedDict[str, list] = OrderedDict()
+        self._cache_lock = threading.Lock()
 
     def _blocks_for(self, qterms: list[str]) -> dict[str, list]:
         """term -> [(doc_ids, tfs, doc_lens, lo, hi, max_tf, max_part)]
-        decoded blocks + per-block max-score metadata, via LRU."""
+        decoded blocks + per-block max-score metadata, via LRU.
+
+        Thread-safe: the miss fill happens OUTSIDE the lock (two threads
+        may redundantly decode the same cold term — wasted work, never
+        wrong), cache mutation inside it.  Returned block tuples are
+        immutable once built, so readers need no lock."""
         import pyarrow.dataset as ds
 
-        missing = [t for t in qterms if t not in self._block_cache]
+        with self._cache_lock:
+            missing = [t for t in qterms if t not in self._block_cache]
         if missing:
             flt = ds.field("term").isin(missing)
             if self.doc_ranges is not None:
@@ -154,41 +184,54 @@ class PointServer:
                 flt = flt & ds.field("doc_range").isin(sorted(self.doc_ranges))
             tbl = self._seg.to_table(filter=flt, columns=self._seg_cols)
             new: dict[str, list] = {t: [] for t in missing}
-            terms_col = tbl["term"].to_pylist()
-            for i in range(tbl.num_rows):
-                row = {c: tbl[c][i].as_py() for c in self._seg_cols[2:5]}
-                ids, tfs, lens = self._decode(row)
-                new[terms_col[i]].append((
-                    ids, tfs, lens,
-                    int(tbl["min_doc_id"][i].as_py()),
-                    int(tbl["max_doc_id"][i].as_py()),
-                    int(tbl["max_tf"][i].as_py()),
-                    float(tbl["max_part"][i].as_py()),
+            # columnar extraction (one to_pylist per column) — ~7x fewer
+            # Python<->C crossings than per-cell .as_py() on cold wide
+            # queries, which is exactly the cold-term latency path
+            cols = {c: tbl[c].to_pylist() for c in self._seg_cols}
+            for term, ib, tb, lb, lo, hi, mt, mp in zip(
+                cols["term"], cols["doc_ids_bin"], cols["tfs_bin"],
+                cols["doc_lens_bin"], cols["min_doc_id"],
+                cols["max_doc_id"], cols["max_tf"], cols["max_part"],
+            ):
+                ids, tfs, lens = self._decode(ib, tb, lb)
+                new[term].append((
+                    ids, tfs, lens, int(lo), int(hi), int(mt), float(mp)
                 ))
+        out = {}
+        retry = []
+        with self._cache_lock:
             for t in missing:
                 self._block_cache[t] = new[t]
-        out = {}
-        for t in qterms:
-            self._block_cache.move_to_end(t)
-            out[t] = self._block_cache[t]
-        # evict AFTER touching the current query's terms (they sit at the
-        # MRU end), and never below the in-flight term count — a query
-        # wider than the cache must not evict its own terms mid-flight
-        floor = max(self._cache_terms, len(qterms))
-        while len(self._block_cache) > floor:
-            self._block_cache.popitem(last=False)
+            for t in qterms:
+                if t in self._block_cache:
+                    self._block_cache.move_to_end(t)
+                    out[t] = self._block_cache[t]
+                else:
+                    # present at the first check, evicted by a concurrent
+                    # search before this one re-acquired the lock — rare;
+                    # re-fetch below
+                    retry.append(t)
+            # evict AFTER touching the current query's terms (they sit at
+            # the MRU end), and never below the in-flight term count — a
+            # query wider than the cache must not evict its own terms
+            # mid-flight
+            floor = max(self._cache_terms, len(qterms))
+            while len(self._block_cache) > floor:
+                self._block_cache.popitem(last=False)
+        if retry:
+            out.update(self._blocks_for(retry))
         return out
 
     # -- scoring ----------------------------------------------------------
 
-    def _decode(self, row: dict):
+    def _decode(self, ids_bin, tfs_bin, lens_bin):
         if self.settings.compression:
-            ids = delta_varint_decode(bytes(row["doc_ids_bin"]))
-            tfs = unary_decode(bytes(row["tfs_bin"]), minimum=1)
+            ids = delta_varint_decode(bytes(ids_bin))
+            tfs = unary_decode(bytes(tfs_bin), minimum=1)
         else:
-            ids = np.frombuffer(bytes(row["doc_ids_bin"]), dtype="<u4").astype(np.uint64)
-            tfs = np.frombuffer(bytes(row["tfs_bin"]), dtype="<u4").astype(np.uint64)
-        lens = np.frombuffer(bytes(row["doc_lens_bin"]), dtype="<u4").astype(np.uint64)
+            ids = np.frombuffer(bytes(ids_bin), dtype="<u4").astype(np.uint64)
+            tfs = np.frombuffer(bytes(tfs_bin), dtype="<u4").astype(np.uint64)
+        lens = np.frombuffer(bytes(lens_bin), dtype="<u4").astype(np.uint64)
         return ids, tfs, lens
 
     def search(
@@ -237,28 +280,37 @@ class PointServer:
         infos.sort(key=lambda x: -x[2])
         suffix = np.cumsum([u for *_, u in infos][::-1])[::-1]
 
-        acc = np.zeros(self.id_space, dtype=np.float64)
+        # dense accumulators cover only this server's doc_id span
+        # (_base/_span — the whole index, or ONE shard's contiguous
+        # slice): N shard servers together hold ~1x the corpus in
+        # accumulator memory, not Nx.  Shard pruning on the segment scan
+        # guarantees every posting id lands inside the span.
+        base = self._base
+        acc = np.zeros(self._span, dtype=np.float64)
         # matched tracks MEMBERSHIP, not score: a universal term has
         # idf = ln(1) = 0, and its zero-score matches still belong to the
         # disjunctive candidate set in both Spark paths (rank-identity)
-        matched = np.zeros(self.id_space, dtype=bool)
-        hits = np.zeros(self.id_space, dtype=np.int32) if conjunctive else None
+        matched = np.zeros(self._span, dtype=bool)
+        hits = np.zeros(self._span, dtype=np.int32) if conjunctive else None
         n_matched = 0
-        # observability: how much the pruning actually did (tests/bench)
-        self.last_pruned_terms = 0
-        self.last_blocks_skipped = 0
+        # observability: how much the pruning actually did (tests/bench).
+        # Accumulated locally, assigned once at the end — concurrent
+        # searches then each publish a self-consistent pair.
+        pruned_terms = 0
+        blocks_skipped = 0
         for i, (term, idf, upper) in enumerate(infos):
             only_existing = False
             if not conjunctive and n_matched >= k:
                 kth = -np.partition(-acc[matched], k - 1)[k - 1]
                 if suffix[i] < kth - 1e-9:
                     only_existing = True
-                    self.last_pruned_terms += 1
+                    pruned_terms += 1
                     nz = np.nonzero(matched)[0]
-                    lo, hi = int(nz[0]), int(nz[-1])
+                    # global-id bounds (block metadata is global)
+                    lo, hi = int(nz[0]) + base, int(nz[-1]) + base
             for ids, tfs, lens, blo, bhi, _mt, _mp in blocks[term]:
                 if only_existing and (bhi < lo or blo > hi):
-                    self.last_blocks_skipped += 1
+                    blocks_skipped += 1
                     continue  # block cannot intersect any candidate
                 tf = tfs.astype(np.float64)
                 if use_bm25:
@@ -267,7 +319,7 @@ class PointServer:
                     )
                 else:
                     part = 1 + np.log(tf)
-                idx = ids.astype(np.int64)
+                idx = ids.astype(np.int64) - base
                 sc = w[term] * idf * part
                 if self._deleted is not None:
                     live = ~self._deleted[idx]
@@ -285,6 +337,8 @@ class PointServer:
                     matched[idx] = True
                     if hits is not None:
                         hits[idx] += 1
+        self.last_pruned_terms = pruned_terms
+        self.last_blocks_skipped = blocks_skipped
         if conjunctive:
             # conjunctive never prunes (only_existing stays False), so
             # every posting passed the hits counter exactly once per term
@@ -294,6 +348,7 @@ class PointServer:
         if cand.size == 0:
             return []
         scores = acc[cand]
+        cand = cand + base  # back to global doc_ids
         if cand.size > k:
             # partition bound: keep every candidate scoring >= the k-th
             # largest (ties widen the set; doc_id tiebreak resolves below)
@@ -325,10 +380,11 @@ class ShardedServer:
     single PointServer over the whole index (pinned in tests).
 
     In production each shard is its own process/host with ~1/N of the
-    index resident (the one-node RAM envelope divided by N); this
-    in-process composition is the same merge path with function calls in
-    place of RPCs.  Shard fan-out is embarrassingly parallel; the merge
-    handles k·N rows.
+    index resident (the one-node RAM envelope divided by N — each shard's
+    segment scan, block cache AND dense accumulators cover only its own
+    doc_id span); this in-process composition is the same merge path with
+    function calls in place of RPCs.  Shard fan-out is embarrassingly
+    parallel; the merge handles k·N rows.
     """
 
     def __init__(self, out_dir: str, n_shards: int = 2,

@@ -147,3 +147,106 @@ def test_cli_merge_smoke(spark, transcripts_path, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == tr.count()
     assert out["segments"] is False
+
+
+def test_merge_carries_tombstones(spark, transcripts_path, tmp_path):
+    """Takedown safety (round-3 judge finding): delete-then-merge must
+    equal merge-then-delete — a doc tombstoned in an input must stay
+    deleted in the merged index, on every query path."""
+    from pulse_spark.index.deletes import delete_docs
+    from pulse_spark.index.persist import load_index
+    from pulse_spark.serve import PointServer, ShardedServer
+
+    tr = spark.read.parquet(transcripts_path)
+    half_a = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    a = build_persisted_index(spark, half_a, str(tmp_path / "ta"), SETTINGS,
+                              build_segments=True)
+    b = build_persisted_index(spark, half_b, str(tmp_path / "tb"), SETTINGS,
+                              build_segments=True)
+    # merge BEFORE any delete — the merge-then-delete reference point
+    merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "m0"))
+
+    # victims that actually appear in results (so the test bites), one
+    # set per input side
+    ra = _topk(a, spark)
+    rb = _topk(b, spark)
+    vic_a = sorted({d for res in ra.values() for _, d, _ in res})[:3]
+    vic_b = sorted({d for res in rb.values() for _, d, _ in res})[:3]
+    victims = set(vic_a) | set(vic_b)
+    assert delete_docs(spark, a.out_dir, vic_a) == len(vic_a)
+    assert delete_docs(spark, b.out_dir, vic_b) == len(vic_b)
+
+    # delete-then-merge
+    merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "m1"))
+    # merge-then-delete on the reference point
+    assert delete_docs(spark, str(tmp_path / "m0"), sorted(victims)) == \
+        len(victims)
+
+    i0 = load_index(spark, str(tmp_path / "m0"))
+    i1 = load_index(spark, str(tmp_path / "m1"))
+    t0 = _topk(i0, spark, k=20)
+    t1 = _topk(i1, spark, k=20)
+    assert t0 == t1
+    for res in t1.values():
+        assert not ({d for _, d, _ in res} & victims)
+
+    # sidecar paths over the delete-then-merge index
+    for srv in (PointServer(str(tmp_path / "m1")),
+                ShardedServer(str(tmp_path / "m1"), n_shards=2)):
+        for _qid, text in gen_queries():
+            got = {r.doc_no for r in srv.search(text, k=20)}
+            assert not (got & victims), text
+
+
+def test_merge_many_three_way_equals_full(spark, transcripts_path, tmp_path):
+    """N-way merge (one union pass, no pairwise fold) over three thirds
+    must be search-indistinguishable from the full build."""
+    from pulse_spark.index.merge import merge_many
+    from pulse_spark.serve import PointServer
+
+    tr = spark.read.parquet(transcripts_path)
+    parts = [
+        tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    idxs = [
+        build_persisted_index(spark, p, str(tmp_path / f"n{i}"), SETTINGS,
+                              build_segments=True)
+        for i, p in enumerate(parts)
+    ]
+    full = build_persisted_index(spark, tr, str(tmp_path / "nf"), SETTINGS,
+                                 build_segments=True)
+    merged = merge_many(spark, [i.out_dir for i in idxs],
+                        str(tmp_path / "nm"))
+    assert merged.n_docs == full.n_docs
+    assert abs(merged.adl - full.adl) < 1e-9
+    t_full = {r["term"]: (r["df"], r["max_tf"]) for r in full.terms.collect()}
+    t_m = {r["term"]: (r["df"], r["max_tf"]) for r in merged.terms.collect()}
+    assert t_full == t_m
+
+    tf = _topk(full, spark)
+    tm = _topk(merged, spark)
+    assert tf.keys() == tm.keys()
+    for qid in tf:
+        sf, gf = _score_groups(tf[qid])
+        sm, gm = _score_groups(tm[qid])
+        assert sf == sm, qid
+        for i, (x, y) in enumerate(zip(gf, gm)):
+            if i < len(gf) - 1:
+                assert x == y, (qid, i)
+
+    # sidecar over 3-way-merged segments == sidecar over the full build
+    sf_srv = PointServer(full.out_dir)
+    sm_srv = PointServer(merged.out_dir)
+    for qid, text in gen_queries():
+        rf = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sf_srv.search(text, k=10))]
+        rm = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sm_srv.search(text, k=10))]
+        s_f, g_f = _score_groups(rf)
+        s_m, g_m = _score_groups(rm)
+        assert s_f == s_m, qid
+        for i, (x, y) in enumerate(zip(g_f, g_m)):
+            if i < len(g_f) - 1:
+                assert x == y, (qid, i)

@@ -322,9 +322,14 @@ def test_compact_stream_index_serves_and_merges(spark, stream_dirs, tmp_path):
     rb = [(r.doc_no, round(r.score, 9)) for r in sb_.search(query, k=10)]
     assert rc == rb and rc  # identical ids (same dense assignment) + nonempty
 
-    # compacted index participates in merge_indexes like any other
+    # compacted index participates in merge_indexes like any other —
+    # including the delete -> compact-output -> merge chain: a doc
+    # tombstoned on the compacted index must stay gone after the merge
+    from pulse_spark.index.deletes import delete_docs
     from pulse_spark.index.merge import merge_indexes
 
+    victim = rc[0][0]
+    assert delete_docs(spark, compacted.out_dir, [victim]) == 1
     tr2 = spark.read.parquet(src).withColumn(
         "conv_id", F.concat(F.lit("z"), F.col("conv_id"))
     )
@@ -338,6 +343,7 @@ def test_compact_stream_index_serves_and_merges(spark, stream_dirs, tmp_path):
     # doubled corpus: same text now exists under both conv prefixes; the
     # merged server must still return docs scored under the merged stats
     assert rm and all(s > 0 for _, s in rm)
+    assert victim not in {d for d, _ in rm}
 
 
 def test_compact_settings_come_from_stream_record(spark, stream_dirs, tmp_path):
