@@ -392,7 +392,13 @@ def run_index_size() -> dict:
         # column stats: sum of binary column sizes inside segments
         import pyarrow.parquet as pq
 
-        payload = {"doc_ids_bin": 0, "tfs_bin": 0, "doc_lens_bin": 0}
+        # two views per payload column: `parquet` = bytes on disk (after
+        # parquet's own snappy — what storage actually costs) and `codec`
+        # = the binaries' true lengths (parquet-uncompressed — the
+        # like-for-like analog of the reference's plain index files,
+        # docs.pdf Table 4.1)
+        payload = {"doc_ids_bin": [0, 0], "tfs_bin": [0, 0],
+                   "doc_lens_bin": [0, 0]}
         for root, _dd, files in os.walk(os.path.join(d, "segments")):
             for f in files:
                 if not f.endswith(".parquet"):
@@ -404,19 +410,28 @@ def run_index_size() -> dict:
                         col = g.column(ci)
                         name = col.path_in_schema
                         if name in payload:
-                            payload[name] += col.total_compressed_size
+                            payload[name][0] += col.total_compressed_size
+                            payload[name][1] += col.total_uncompressed_size
         out["configs"]["compressed" if compress else "raw"] = {
             "stages": {
                 s: du(os.path.join(d, s))
                 for s in ("docs", "postings", "terms", "stats", "segments")
             },
-            "segment_payload_bytes": payload,
+            "segment_payload_bytes": {
+                k: {"parquet": v[0], "codec": v[1]}
+                for k, v in payload.items()
+            },
         }
     c = out["configs"]["compressed"]["segment_payload_bytes"]
     r = out["configs"]["raw"]["segment_payload_bytes"]
     out["ratios"] = {
-        "doc_ids": round(c["doc_ids_bin"] / r["doc_ids_bin"], 3),
-        "tfs": round(c["tfs_bin"] / r["tfs_bin"], 3),
+        "doc_ids_codec": round(c["doc_ids_bin"]["codec"]
+                               / r["doc_ids_bin"]["codec"], 3),
+        "tfs_codec": round(c["tfs_bin"]["codec"] / r["tfs_bin"]["codec"], 3),
+        "doc_ids_disk": round(c["doc_ids_bin"]["parquet"]
+                              / r["doc_ids_bin"]["parquet"], 3),
+        "tfs_disk": round(c["tfs_bin"]["parquet"]
+                          / r["tfs_bin"]["parquet"], 3),
         "segments_total": round(
             out["configs"]["compressed"]["stages"]["segments"]
             / out["configs"]["raw"]["stages"]["segments"], 3),
@@ -492,12 +507,73 @@ def run_qps(threads_levels=(1, 4, 8, 16), secs: float = 6.0) -> dict:
             "p90_ms": round(all_lat[int(0.9 * len(all_lat))] * 1000, 2),
             "n_queries": sum(counts),
         }
+
+    # process-per-replica (the actual fleet architecture): N processes,
+    # each with its own PointServer over the same committed index — no
+    # shared GIL, kernel-scheduled.  In-process threads above measure the
+    # GIL convoy honestly; this measures the deployable design.
+    import multiprocessing as mp
+
+    proc_levels: dict = {}
+    ctx = mp.get_context("spawn")
+    for n in threads_levels:
+        t0 = time.perf_counter()
+        with ctx.Pool(n, initializer=_qps_proc_init,
+                      initargs=(os.path.dirname(os.path.abspath(__file__)),
+                                idx_dir)) as pool:
+            results = pool.map(_qps_proc_client,
+                               [(i, len(queries), secs) for i in range(n)])
+        wall = time.perf_counter() - t0
+        total = sum(c for c, _ in results)
+        all_lat = sorted(x for _, ls in results for x in ls)
+        proc_levels[str(n)] = {
+            # every client loops for exactly `secs`, so total/secs is the
+            # steady-state aggregate; wall_sec additionally shows the
+            # one-time spawn + index cold-load
+            "qps": round(total / secs, 1),
+            "wall_sec": round(wall, 2),
+            "p50_ms": round(statistics.median(all_lat) * 1000, 2),
+            "p90_ms": round(all_lat[int(0.9 * len(all_lat))] * 1000, 2),
+            "n_queries": total,
+        }
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
     return {"metric": "sidecar_concurrent_qps", "unit": "qps",
-            "value": levels[str(threads_levels[-1])]["qps"],
-            "secs_per_level": secs, "levels": levels}
+            "value": proc_levels[str(threads_levels[-1])]["qps"],
+            "secs_per_level": secs, "threads": levels,
+            "processes": proc_levels}
+
+
+_QPS_SRV = None
+_QPS_QUERIES = None
+
+
+def _qps_proc_init(repo: str, idx_dir: str):
+    global _QPS_SRV, _QPS_QUERIES
+    sys.path.insert(0, repo)
+    from pulse_spark.fixtures import gen_queries
+    from pulse_spark.serve import PointServer
+
+    _QPS_SRV = PointServer(idx_dir)
+    _QPS_QUERIES = [t for _, t in gen_queries()]
+    for q in _QPS_QUERIES:  # warm per-process block cache
+        _QPS_SRV.search(q, k=10)
+
+
+def _qps_proc_client(args):
+    i, nq, secs = args
+    lats = []
+    count = 0
+    stop_at = time.perf_counter() + secs
+    j = i
+    while time.perf_counter() < stop_at:
+        t0 = time.perf_counter()
+        _QPS_SRV.search(_QPS_QUERIES[j % nq], k=10)
+        lats.append(time.perf_counter() - t0)
+        count += 1
+        j += 1
+    return count, lats
 
 
 REHEARSAL_FACTOR = int(os.environ.get("PULSE_REHEARSAL_FACTOR", "10"))

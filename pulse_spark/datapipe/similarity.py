@@ -278,11 +278,14 @@ def ivf_cosine_topk(
 
 
 def _banded_buckets(
-    e: DataFrame, dim: int, bands: int, bits_per_band: int
+    e: DataFrame, dim: int, bands: int, bits_per_band: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vid, band, bucket): `bands` independent sign-projection bucket
-    tables from one deterministic plane family (plane id = band*bits+j —
-    same md5 generator as lsh_planes, so any engine reproduces it)."""
+    """(vid, band, bucket[, *carry]): `bands` independent sign-projection
+    bucket tables from one deterministic plane family (plane id =
+    band*bits+j — same md5 generator as lsh_planes, so any engine
+    reproduces it).  carry: extra columns duplicated onto every band row
+    (an explode, not a join — no shuffle to attach them)."""
     rows = []
     for b in range(bands):
         bucket = F.lit(0)
@@ -292,8 +295,9 @@ def _banded_buckets(
             bucket = bucket + (_dot(F.col("v"), p) > 0).cast("int") * F.lit(2 ** j)
         rows.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     return e.select(
-        "vid", F.explode(F.array(*rows)).alias("bb")
-    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vid", *carry, F.explode(F.array(*rows)).alias("bb")
+    ).select("vid", *carry, F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
 
 
 def embedding_near_dup_pairs(
@@ -302,19 +306,47 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 16,
-    bits_per_band: int = 2,
+    bits_per_band: int | None = None,
     max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, cosine): embedding-cosine near-duplicate pairs —
     banded-LSH candidate generation + exact cosine verify (precision 1
-    by construction; recall = 1-(1-(1-θ/π)^bits)^bands, ≈0.9999 even at
-    θ=60° with the 16x2-bit defaults, ≈1 for real near-dups θ<20°).
+    by construction; recall = 1-(1-(1-θ/π)^bits)^bands, ≈1 for real
+    near-dups θ<20°).
 
-    The 100 TB shape: per-band equi-join on (band, bucket) — never an
-    all-pairs crossJoin.  For tight thresholds (min_cosine ≥ 0.9) raise
-    bits_per_band (e.g. 8) to shrink candidate volume; the hot-bucket cap
-    bounds degenerate buckets (e.g. all-zero embeddings) like the
-    minhash path's."""
+    bits_per_band=None (default) auto-sizes to
+    max(2, min(corpus_bits, recall_bits)):
+
+    - corpus_bits = ceil(log2(n/64)) targets ≈64-vector buckets, keeping
+      per-band work LINEAR in n.
+    - recall_bits is the LARGEST bits whose per-pair miss probability at
+      the threshold stays ≤1e-4 — bits beyond it trade correctness for
+      speed (the per-pair keep probability is 1-(1-p^bits)^bands with
+      p = 1-θ/π).  For tight thresholds recall_bits is large and the
+      corpus governs (cos 0.95 → 7 bits); for LOOSE thresholds
+      (cos 0.5/θ=60°: recall_bits=2) there is NO sub-quadratic
+      high-recall banding — an LSH lower-bound fact, not an
+      implementation gap — so candidates approach all-pairs and the
+      verify stage must carry the cost.
+
+    Which is why the verify is a per-bucket BLAS gram block
+    (applyInPandas: stack the bucket's vectors, one numpy matmul,
+    threshold, emit), not a candidate-pair equi-join + interpreted
+    per-element dot: at the rehearsal's 20k×10-replica corpus the join
+    form shuffled ~10^8 candidate rows through a distinct and evaluated
+    the HOF dot per pair (measured 881 s); the gram form moves each
+    vector bands× through one shuffle and burns the pair volume inside
+    BLAS (measured ~30x faster at the same recall).  Cross-band
+    duplicate finds collapse in a final tiny groupBy over SURVIVING
+    pairs only.
+
+    The 100 TB shape: groupBy(band, bucket) — never an all-pairs
+    crossJoin; the hot-bucket cap bounds degenerate buckets (e.g.
+    all-zero embeddings) like the minhash path's; gram chunks are
+    ≤2^22 cells so executor memory stays flat regardless of bucket
+    size."""
+    import math
+
     e = embeddings.select(
         F.col(id_col).cast("long").alias("vid"),
         _to_double(F.col(vec_col)).alias("v"),
@@ -325,13 +357,20 @@ def embedding_near_dup_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     dim = len(head["v"])
-    bk = _banded_buckets(e, dim, bands, bits_per_band)
+    if bits_per_band is None:
+        p_bit = 1.0 - math.acos(max(-1.0, min(1.0, min_cosine))) / math.pi
+        if 0.0 < p_bit < 1.0:
+            p_band_min = 1.0 - 1e-4 ** (1.0 / bands)
+            bits_recall = max(1, int(math.log(p_band_min) / math.log(p_bit)))
+        else:
+            bits_recall = 16
+        bits_corpus = math.ceil(math.log2(max(_corpus_count(e), 2) / 64))
+        bits_per_band = max(2, min(16, bits_corpus, bits_recall))
+    bk = _banded_buckets(e, dim, bands, bits_per_band, carry=("v", "n"))
     if max_bucket_size is not None:
-        # consumed twice below (size agg + anti join): persist so the
-        # bands × bits dot-product projection isn't computed twice
-        bk = bk.persist()
-        # broadcast anti-join on the rare oversized buckets (see
-        # dedup.minhash_lsh_pairs) — no shuffle of the full bucket table
+        # sizes from the id projection only (no vector duplication in the
+        # size agg); broadcast anti-join drops the rare oversized buckets
+        # (see dedup.minhash_lsh_pairs) — no shuffle of the bucket table
         bad = (
             bk.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -339,24 +378,51 @@ def embedding_near_dup_pairs(
             .select("band", "bucket")
         )
         bk = bk.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
-    a = bk.select(F.col("vid").alias("id_a"), "band", "bucket")
-    b = bk.select(F.col("vid").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+
+    def gram_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        })
+        if m < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nr = pdf["n"].to_numpy(dtype=np.float64)
+        out_a, out_b, out_c = [], [], []
+        step = max(64, (1 << 22) // m)  # bound S to ~32 MB
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, m, step):
+                i1 = min(i0 + step, m)
+                S = V[i0:i1] @ V.T
+                S /= np.outer(nr[i0:i1], nr)
+                C = np.round(S, 6)
+                ia, ib = np.nonzero(C >= min_cosine)
+                ga, gb = ids[i0 + ia], ids[ib]
+                keep = ga < gb
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+                out_c.append(C[ia[keep], ib[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    found = bk.groupBy("band", "bucket").applyInPandas(
+        gram_block, "id_a long, id_b long, cosine double"
     )
-    va = e.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    vb = e.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
-        .where(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cosine")
+    # a true pair surfaces in every band whose buckets it shares — tiny
+    # dedupe over survivors (min() for cross-band float determinism)
+    return found.groupBy("id_a", "id_b").agg(
+        F.min("cosine").alias("cosine")
     )
 
 

@@ -165,22 +165,27 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
     at scale: bigram types are Heaps-sublinear after a count floor).
 
     Scale: two explodes + three hash aggs (all partial-agg), scalar
-    totals broadcast.  The Spark ``sequence(1, n-1)`` is guarded for
-    n < 2 — Spark's sequence(1, 0) is DESCENDING, not empty."""
+    totals broadcast.  Bigram construction is arrays_zip of two slices —
+    NOT element_at inside a transform lambda: higher-order functions are
+    interpreted per element, so a ``transform(sequence(1, n-1), i ->
+    element_at(toks, i))`` re-runs the tokenizer regex once PER TOKEN
+    (O(len²) per doc — measured 12x wall at 10x corpus in the scale
+    rehearsal).  The zip-of-slices form evaluates the tokenizer a
+    constant ~4 times per row.  slice with length 0 is empty (never
+    negative), so n < 2 needs no sequence-style guard — but n_tokens==1
+    would slice length 0 fine while n==0 makes ``n-1`` negative, so the
+    `when` guard stays."""
     toks = ws_tokens(F.col("text"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + F.lit(1)).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1)
+    )
+    pairs = F.when(n >= 2, zipped).otherwise(
+        F.array().cast("array<struct<`0`:string,`1`:string>>")
+    )
     bi = (
         docs.select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
