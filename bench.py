@@ -323,7 +323,10 @@ def run_latency_sidecar(k: int = 10) -> dict:
     spark = get_spark(app_name="pulse_latency_sidecar", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
     tmp = tempfile.mkdtemp(prefix="bench_latency_sidecar_")
-    tr = synth_transcripts_spark(spark, 25000)  # ~112k turns
+    # default ~112k turns; PULSE_LATENCY_CONVS=1000000 gives the ~4.5M-turn
+    # corpus-size scaling point (same input as --scaling)
+    n_convs = int(os.environ.get("PULSE_LATENCY_CONVS", "25000"))
+    tr = synth_transcripts_spark(spark, n_convs)
     idx_dir = os.path.join(tmp, "idx")
     build_persisted_index(spark, tr, idx_dir, IndexingSettings(term_buckets=32),
                           build_segments=True)
