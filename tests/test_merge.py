@@ -250,3 +250,45 @@ def test_merge_many_three_way_equals_full(spark, transcripts_path, tmp_path):
         for i, (x, y) in enumerate(zip(g_f, g_m)):
             if i < len(g_f) - 1:
                 assert x == y, (qid, i)
+
+
+def test_merge_resplits_different_range_sizes(spark, transcripts_path, tmp_path):
+    """Inputs of very different sizes build segments with DIFFERENT
+    range_size (ceil(n_docs/n_ranges)); _merge_segments must re-split
+    the absorbed side's blocks onto the first input's grid.  A skewed
+    1/8 vs 7/8 split forces the mismatch the equal-halves fixture can't
+    produce."""
+    import json
+
+    from pulse_spark.serve import PointServer
+
+    tr = spark.read.parquet(transcripts_path)
+    small = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(8)) == 0)
+    big = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(8)) != 0)
+    a = build_persisted_index(spark, big, str(tmp_path / "ra"), SETTINGS,
+                              build_segments=True)
+    b = build_persisted_index(spark, small, str(tmp_path / "rb"), SETTINGS,
+                              build_segments=True)
+    full = build_persisted_index(spark, tr, str(tmp_path / "rf"), SETTINGS,
+                                 build_segments=True)
+
+    def rs(d):
+        with open(f"{d}/manifest.json") as f:
+            return json.load(f)["stages"]["segments"]["range_size"]
+
+    assert rs(a.out_dir) != rs(b.out_dir), "split failed to differ — fixture"
+    merged = merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "rm"))
+    assert rs(merged.out_dir) == rs(a.out_dir)  # first input's grid
+
+    sf_srv, sm_srv = PointServer(full.out_dir), PointServer(merged.out_dir)
+    for qid, text in gen_queries():
+        rf = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sf_srv.search(text, k=10))]
+        rm = [(i, r.doc_no, round(r.score, 9))
+              for i, r in enumerate(sm_srv.search(text, k=10))]
+        s_f, g_f = _score_groups(rf)
+        s_m, g_m = _score_groups(rm)
+        assert s_f == s_m, qid
+        for i, (x, y) in enumerate(zip(g_f, g_m)):
+            if i < len(g_f) - 1:
+                assert x == y, (qid, i)
