@@ -50,27 +50,102 @@ def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def token_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _ws_toks() -> F.Column:
+    return F.filter(F.split(normalized_text(), " "), lambda x: x != F.lit(""))
+
+
+def _shingle_case(n: int) -> str:
+    """SQL CASE building the n-token shingle array over a `_toks` column.
+    Guarded: sequence(1, 0) in Spark is the DESCENDING [1, 0] (not
+    empty), and slice(_toks, 0, n) then throws
+    INVALID_PARAMETER_VALUE.START — so docs with < n tokens must
+    short-circuit to an empty array, matching the DuckDB oracles' empty
+    range(1, 1) semantics.  `_toks` is a materialized column reference
+    (multi-use, so CollapseProject keeps it out of the lambda — the
+    per-element work is slice+concat only, never re-tokenization)."""
+    return (
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n}))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def token_shingles(
+    docs: DataFrame, id_col: str = "doc_id", n: int = SHINGLE_N
+) -> DataFrame:
     """(id, shingle): DISTINCT n-token shingles of the normalized text.
     Tokenization = whitespace split (dedup doesn't stem/stopword-strip —
     surface-form similarity is the point)."""
-    toks = F.filter(F.split(normalized_text(), " "), lambda x: x != F.lit(""))
-    # Guarded: sequence(1, 0) in Spark is the DESCENDING [1, 0] (not empty),
-    # and slice(_toks, 0, n) then throws INVALID_PARAMETER_VALUE.START — so
-    # docs with < SHINGLE_N tokens must short-circuit to an empty array,
-    # matching the DuckDB oracle's empty range(1, 1) semantics.
-    sh = F.expr(
-        f"CASE WHEN size(_toks) >= {SHINGLE_N} THEN "
-        f"transform(sequence(1, size(_toks) - {SHINGLE_N - 1}), "
-        f"i -> concat_ws(' ', slice(_toks, i, {SHINGLE_N}))) "
-        f"ELSE cast(array() as array<string>) END"
-    )
     return (
-        docs.withColumn("_toks", toks)
+        docs.withColumn("_toks", _ws_toks())
         .select(
             F.col(id_col).cast("long").alias(id_col),
-            F.explode(F.array_distinct(sh)).alias("shingle"),
+            F.explode(F.array_distinct(F.expr(_shingle_case(n)))).alias("shingle"),
         )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated): flag training docs that share any
+    n-token shingle with a benchmark/eval corpus — the train-test
+    decontamination pass of an LLM data pipeline (the GPT-3 appendix-C /
+    C4 13-gram-family check; n=8 is a common modern choice).  n_hits =
+    number of DISTINCT contaminated shingles in the doc.
+
+    Scale shape: the benchmark side is small by nature (eval suites are
+    10^3-10^6 docs, the training corpus 10^9+), so its distinct shingle
+    set BROADCASTS; the training side is one explode + broadcast
+    semi-join + per-doc count with map-side partial agg — the corpus is
+    never shuffled.  For benchmark sets too big to broadcast, swap the
+    broadcast join for a bucketed equi-join on the shingle hash; the
+    operator shape is otherwise unchanged."""
+    bench_sh = (
+        token_shingles(benchmark, id_col=id_col, n=n)
+        .select("shingle").distinct()
+    )
+    hits = (
+        token_shingles(docs, id_col=id_col, n=n)
+        .join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    base = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def repetition_score(
+    docs: DataFrame, n: int = SHINGLE_N, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_shingles, n_distinct, dup_ratio): fraction of repeated
+    n-gram occurrences per doc — the C4/Gopher boilerplate signal
+    (navigation bars, templated text, and degenerate generations all
+    repeat n-grams).  dup_ratio = (total - distinct) / total shingles.
+
+    Pure column expressions, zero shuffle; the shingle array is built
+    twice (size + distinct-size) but over the MATERIALIZED `_toks`
+    column, so tokenization runs once per row."""
+    sh = _shingle_case(n)
+    n_total = F.size(F.expr(sh))
+    n_distinct = F.size(F.array_distinct(F.expr(sh)))
+    ratio = F.when(
+        n_total > 0,
+        (n_total - n_distinct).cast("double") / n_total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.withColumn("_toks", _ws_toks()).select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_total.cast("long").alias("n_shingles"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(ratio, 6).alias("dup_ratio"),
     )
 
 

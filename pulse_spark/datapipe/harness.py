@@ -107,6 +107,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), min_cosine=NEAR_DUP_COSINE)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination: docs with doc_id % 23 == 0 play the
+    benchmark/eval set, the rest the training corpus; n=3 shingles so
+    the small-SF fixture actually produces contamination hits (the
+    operator default n=8 finds only near-verbatim overlap)."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(23)) == 0)
+    train = d.where(F.pmod(F.col("doc_id"), F.lit(23)) != 0)
+    return dedup.decontaminate(train, bench, n=3)
+
+
+def q_repetition(spark, sf_dir):
+    return dedup.repetition_score(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.multimodal_meta(_docs(spark, sf_dir))
 
@@ -185,6 +200,8 @@ DATAPIPE_QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate": q_decontaminate,
+    "repetition_score": q_repetition,
     "near_dup_clusters": q_near_dup_clusters,
     "corpus_filter": q_corpus_filter,
     "simhash": q_simhash,
@@ -562,4 +579,50 @@ SELECT CAST(tq.doc_id AS BIGINT) AS doc_id,
          AND tq.stopword_ratio >= 0.01)
         AND cl.cluster_id = cl.doc_id) AS keep
 FROM tq JOIN cl ON cl.doc_id = tq.doc_id
+"""
+
+# 3-token shingle CTE shared by the decontamination / repetition oracles
+# (same tokenization as the minhash CTEs: whitespace split of the
+# normalized text)
+_SH3_CTE = f"""
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+shl AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS shingles
+  FROM tk
+)
+"""
+
+DATAPIPE_ORACLES["decontaminate"] = f"""
+WITH {_SH3_CTE},
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shl),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN bsh USING (shingle)
+  WHERE s.doc_id % 23 <> 0
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+DATAPIPE_ORACLES["repetition_score"] = f"""
+WITH {_SH3_CTE}
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(shingles) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(shingles) > 0
+             THEN CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE)
+                  / len(shingles)
+             ELSE 0.0 END, 6) AS dup_ratio
+FROM shl
 """

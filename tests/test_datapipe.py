@@ -388,3 +388,51 @@ def test_train_val_split_deterministic_and_stable(spark):
     resalt = {r["doc_id"]: r["split"]
               for r in train_val_split(big, salt="other").collect()}
     assert resalt != a  # independent re-split
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """A training doc verbatim-containing a benchmark 8-gram is flagged;
+    disjoint docs are not; n_hits counts DISTINCT shared shingles."""
+    from pulse_spark.datapipe.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8 tokens verbatim
+            (10, "x y alpha beta gamma delta epsilon zeta eta theta z"),
+            # same vocabulary, different order: no shared 8-gram
+            (11, "theta eta zeta epsilon delta gamma beta alpha iota"),
+            (12, "completely unrelated words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(train, bench, n=8).collect()}
+    # exactly ONE shared 8-gram: the benchmark's alpha..theta window
+    # (its other 8-gram, beta..iota, is not in the training doc)
+    assert out[10] == (1, True)
+    assert out[11] == (0, False)
+    assert out[12] == (0, False)
+    assert len(out) == 3  # every training doc present (left join)
+
+
+def test_repetition_score_semantics(spark):
+    """dup_ratio = (total - distinct) / total shingles; short docs 0."""
+    from pulse_spark.datapipe.dedup import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # 3-shingles: aba bab aba bab -> 4 total, 2 distinct
+            (2, "one two three four"),  # 2 shingles, both distinct
+            (3, "xy"),              # < n tokens -> 0 shingles, ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_shingles"], r["n_distinct"], r["dup_ratio"])
+           for r in repetition_score(docs, n=3).collect()}
+    assert out[1] == (4, 2, 0.5)
+    assert out[2] == (2, 2, 0.0)
+    assert out[3] == (0, 0, 0.0)
