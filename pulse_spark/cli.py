@@ -1,13 +1,20 @@
 """spark-submit entry point.
 
 Cluster usage (north rule: spark-submit --py-files on multi-executor
-clusters):
+clusters; spark-submit has no `-m` module mode, so the repo ships a
+4-line app file `submit.py` that calls main()):
 
     zip -r pulse_spark.zip pulse_spark
     spark-submit --py-files pulse_spark.zip \
         --conf spark.sql.adaptive.enabled=true \
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \
-        -m pulse_spark.cli build --input <table-or-path> --output <index-dir>
+        submit.py build --input <table-or-path> --output <index-dir>
+
+Under spark-submit, omit --master: the session inherits the SUBMITTED
+master and confs (session.py detects the existing gateway and does not
+force local mode or a shuffle-partition default).  The full launch path
+— zip + --py-files + fresh driver JVM + build + search over real
+parquet — is exercised by tests/test_submit.py.
 
 Local usage:
     python -m pulse_spark.cli build  --input t.parquet --output /tmp/idx

@@ -23,14 +23,29 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+    # Under spark-submit the JVM gateway already exists (it launched this
+    # Python process, advertising itself via PYSPARK_GATEWAY_PORT) and
+    # carries the SUBMITTED master and confs (yarn/k8s/standalone/local,
+    # --conf spark.sql.shuffle.partitions=...).  Forcing .master() there
+    # would silently turn a cluster launch into local mode, and forcing a
+    # default shuffle-partition count would stomp the submitted conf —
+    # so both defaults apply only when we own the JVM.
+    submit_mode = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submit_mode:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None and not submit_mode:
+        n = (
+            master[master.find("[") + 1 : master.find("]")]
+            if master and "[" in master else cpus
+        )
         shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
