@@ -163,30 +163,55 @@ class PointServer:
         self._cache_terms = cache_terms
         self._block_cache: OrderedDict[str, list] = OrderedDict()
         self._cache_lock = threading.Lock()
+        # pooled per-THREAD dense accumulators (see search): allocated
+        # once, reset O(candidates) after each query — at a 9M-doc span
+        # a fresh np.zeros costs ~35 ms of page faults per query
+        self._tl = threading.local()
+
+    def _buffers(self, conjunctive: bool):
+        tl = self._tl
+        if getattr(tl, "acc", None) is None or tl.acc.size != self._span:
+            tl.acc = np.zeros(self._span, dtype=np.float64)
+            tl.matched = np.zeros(self._span, dtype=bool)
+            tl.hits = None
+        if conjunctive and (tl.hits is None or tl.hits.size != self._span):
+            tl.hits = np.zeros(self._span, dtype=np.int32)
+        return tl.acc, tl.matched, (tl.hits if conjunctive else None)
 
     def _blocks_for(self, qterms: list[str]) -> dict[str, dict]:
-        """term -> {"blocks": [(idx, tf, doc_lens, lo, hi, max_tf,
-        max_part)], "pb": parts|None, "pt": parts|None} decoded blocks +
-        per-block max-score metadata, via LRU.
+        """term -> {"idx","tf","lens": fused posting arrays, "off": block
+        offsets (B+1), "blo","bhi","bmt","bmp": per-block metadata
+        arrays, "pb","pt": memoized partials|None} via LRU.
+
+        Each term's blocks are FUSED into single concatenated arrays at
+        fill time (per-block views recovered by slicing at "off" when
+        MaxScore pruning wants to skip blocks).  At the 10^6-posting
+        terms a 9M-doc corpus produces, a term spans ~8000 blocks of
+        block_size=128 — a per-block Python loop costs ~10 µs/iteration
+        of pure interpreter overhead, which dominated the warm
+        accumulator pass; the fused form is O(1) numpy calls per term on
+        the unpruned path.
 
         The per-posting score partials are QUERY-INDEPENDENT — BM25's
         tf/(k1·((1-b)+b·len/adl)+tf) and TFIDF's 1+ln(tf) depend only on
         the index — so the FIRST search touching a term computes and
-        memoizes them ("pb"/"pt", one list per metric, aligned with
-        "blocks"); every later query is one scalar multiply +
-        scatter-add per block (measured warm k=1000 p50 at the 9M-doc
-        corpus: 181 → 143 ms).  Lazy per metric so the cold fill pays
-        neither (eager fill measured +70% cold p50 — the ln() is the
-        expensive one).  idx is stored span-local (base already
-        subtracted).  Identical float operations in the same order as
-        the inline form, so scores stay bit-identical (pinned by
+        memoizes them ("pb"/"pt", one fused array per metric); lazy per
+        metric so the cold fill pays neither (eager fill measured +70%
+        cold p50 — the ln() is the expensive one).  idx is stored
+        span-local (base already subtracted) as int64 (numpy's intp: an
+        int32 index array measured ~10% SLOWER — numpy re-casts non-intp
+        indices on every indexing call).  Identical float operations on
+        identical values as the inline per-block form — and every
+        posting id is unique within a term, so scatter-add order cannot
+        change a sum — scores stay bit-identical (pinned by
         test_serve.py rank-identity).
 
         Thread-safe: the miss fill happens OUTSIDE the lock (two threads
         may redundantly decode the same cold term — wasted work, never
-        wrong), cache mutation inside it.  Block tuples are immutable
-        once built; the memo slots are a benign write-once race (both
-        writers compute identical arrays, assignment is atomic)."""
+        wrong), cache mutation inside it.  The fused arrays are
+        immutable once built; the memo slots are a benign write-once
+        race (both writers compute identical arrays, assignment is
+        atomic)."""
         import pyarrow.dataset as ds
 
         with self._cache_lock:
@@ -198,7 +223,7 @@ class PointServer:
                 # reads (or caches) another shard's blocks
                 flt = flt & ds.field("doc_range").isin(sorted(self.doc_ranges))
             tbl = self._seg.to_table(filter=flt, columns=self._seg_cols)
-            new: dict[str, list] = {t: [] for t in missing}
+            raw: dict[str, list] = {t: [] for t in missing}
             # columnar extraction (one to_pylist per column) — ~7x fewer
             # Python<->C crossings than per-cell .as_py() on cold wide
             # queries, which is exactly the cold-term latency path
@@ -209,21 +234,40 @@ class PointServer:
                 cols["max_doc_id"], cols["max_tf"], cols["max_part"],
             ):
                 ids, tfs, lens = self._decode(ib, tb, lb)
-                # idx stays int64 (numpy's intp): an int32 index array
-                # was measured ~10% SLOWER — numpy re-casts non-intp
-                # indices to intp on EVERY indexing call
-                idx = ids.astype(np.int64) - self._base
-                tf = tfs.astype(np.float64)
-                new[term].append((
-                    idx, tf, lens, int(lo), int(hi), int(mt), float(mp)
+                raw[term].append((
+                    ids.astype(np.int64) - self._base, tfs, lens,
+                    int(lo), int(hi), int(mt), float(mp)
                 ))
+            new: dict[str, dict] = {}
+            for t in missing:
+                blks = raw[t]
+                if blks:
+                    new[t] = {
+                        "idx": np.concatenate([b[0] for b in blks]),
+                        "tf": np.concatenate([b[1] for b in blks]).astype(
+                            np.float64),
+                        "lens": np.concatenate([b[2] for b in blks]),
+                        "off": np.cumsum([0] + [len(b[0]) for b in blks]),
+                        "blo": np.array([b[3] for b in blks], np.int64),
+                        "bhi": np.array([b[4] for b in blks], np.int64),
+                        "bmt": np.array([b[5] for b in blks], np.int64),
+                        "bmp": np.array([b[6] for b in blks], np.float64),
+                        "pb": None, "pt": None,
+                    }
+                else:
+                    z = np.zeros(0)
+                    new[t] = {
+                        "idx": z.astype(np.int64), "tf": z, "lens": z,
+                        "off": np.zeros(1, np.int64),
+                        "blo": z.astype(np.int64), "bhi": z.astype(np.int64),
+                        "bmt": z.astype(np.int64), "bmp": z,
+                        "pb": None, "pt": None,
+                    }
         out = {}
         retry = []
         with self._cache_lock:
             for t in missing:
-                self._block_cache[t] = {
-                    "blocks": new[t], "pb": None, "pt": None
-                }
+                self._block_cache[t] = new[t]
             for t in qterms:
                 if t in self._block_cache:
                     self._block_cache.move_to_end(t)
@@ -292,11 +336,12 @@ class PointServer:
         infos = []
         for term in qterms:
             idf = math.log(self.n_docs / self.df[term])
+            e = blocks[term]
             if use_bm25:
-                mp = max((b[6] for b in blocks[term]["blocks"]), default=0.0)
+                mp = float(e["bmp"].max()) if e["bmp"].size else 0.0
                 upper = w[term] * idf * mp
             else:
-                mt = max((b[5] for b in blocks[term]["blocks"]), default=1)
+                mt = int(e["bmt"].max()) if e["bmt"].size else 1
                 upper = w[term] * (1 + math.log(mt)) * idf
             infos.append((term, idf, upper))
         infos.sort(key=lambda x: -x[2])
@@ -307,98 +352,145 @@ class PointServer:
         # slice): N shard servers together hold ~1x the corpus in
         # accumulator memory, not Nx.  Shard pruning on the segment scan
         # guarantees every posting id lands inside the span.
+        #
+        # The buffers are POOLED per thread and reset O(candidates) in
+        # the finally block; the candidate id list is maintained
+        # INCREMENTALLY (cand_parts) so nothing ever scans the full span
+        # — at 9M docs, per-query np.zeros page faults (~35 ms) plus the
+        # acc[matched] / nonzero(matched) full-span passes (~25 ms) were
+        # the bulk of warm latency.
         base = self._base
-        acc = np.zeros(self._span, dtype=np.float64)
+        acc, matched, hits = self._buffers(conjunctive)
         # matched tracks MEMBERSHIP, not score: a universal term has
         # idf = ln(1) = 0, and its zero-score matches still belong to the
         # disjunctive candidate set in both Spark paths (rank-identity)
-        matched = np.zeros(self._span, dtype=bool)
-        hits = np.zeros(self._span, dtype=np.int32) if conjunctive else None
+        cand_parts: list[np.ndarray] = []
         n_matched = 0
         # observability: how much the pruning actually did (tests/bench).
         # Accumulated locally, assigned once at the end — concurrent
         # searches then each publish a self-consistent pair.
         pruned_terms = 0
         blocks_skipped = 0
-        for i, (term, idf, upper) in enumerate(infos):
-            only_existing = False
-            if not conjunctive and n_matched >= k:
-                kth = -np.partition(-acc[matched], k - 1)[k - 1]
-                if suffix[i] < kth - 1e-9:
-                    only_existing = True
-                    pruned_terms += 1
-                    nz = np.nonzero(matched)[0]
-                    # global-id bounds (block metadata is global)
-                    lo, hi = int(nz[0]) + base, int(nz[-1]) + base
-            wi = w[term] * idf
-            entry = blocks[term]
-            memo_key = "pb" if use_bm25 else "pt"
-            parts = entry[memo_key]
-            if parts is None:
-                # first touch of this term under this metric: compute the
-                # query-independent partials once (same float ops, same
-                # order as the inline form — scores bit-identical)
-                if use_bm25:
-                    parts = [
-                        tf / (BM25_K1 * ((1 - BM25_B)
-                                         + BM25_B * (lens / self.adl)) + tf)
-                        for _i, tf, lens, *_rest in entry["blocks"]
-                    ]
-                else:
-                    parts = [1 + np.log(tf)
-                             for _i, tf, _l, *_rest in entry["blocks"]]
-                entry[memo_key] = parts
-            for (idx, _tf, _lens, blo, bhi, _mt, _mp), part in zip(
-                entry["blocks"], parts
-            ):
-                if only_existing and (bhi < lo or blo > hi):
-                    blocks_skipped += 1
-                    continue  # block cannot intersect any candidate
-                sc = wi * part
-                if self._deleted is not None:
-                    live = ~self._deleted[idx]
-                    if not live.all():
-                        idx, sc = idx[live], sc[live]
-                        if idx.size == 0:
-                            continue
+        try:
+            for i, (term, idf, upper) in enumerate(infos):
+                only_existing = False
+                if not conjunctive and n_matched >= k:
+                    if len(cand_parts) > 1:
+                        cand_parts = [np.concatenate(cand_parts)]
+                    cand_so_far = cand_parts[0]
+                    # same value multiset as acc[matched] (every candidate
+                    # exactly once), gathered in O(candidates)
+                    kth = -np.partition(-acc[cand_so_far], k - 1)[k - 1]
+                    if suffix[i] < kth - 1e-9:
+                        only_existing = True
+                        pruned_terms += 1
+                        # global-id bounds (block metadata is global)
+                        lo = int(cand_so_far.min()) + base
+                        hi = int(cand_so_far.max()) + base
+                wi = w[term] * idf
+                entry = blocks[term]
+                memo_key = "pb" if use_bm25 else "pt"
+                parts = entry[memo_key]
+                if parts is None:
+                    # first touch of this term under this metric: compute
+                    # the query-independent partials once (same float ops
+                    # on the same values as the inline form — scores
+                    # bit-identical)
+                    tf = entry["tf"]
+                    if use_bm25:
+                        parts = tf / (
+                            BM25_K1 * ((1 - BM25_B)
+                                       + BM25_B * (entry["lens"] / self.adl))
+                            + tf
+                        )
+                    else:
+                        parts = 1 + np.log(tf)
+                    entry[memo_key] = parts
                 if only_existing:
-                    m = matched[idx]
-                    acc[idx[m]] += sc[m]
+                    # pruned path: slice only the blocks intersecting the
+                    # candidate span (per-block views of the fused arrays)
+                    keep = (entry["bhi"] >= lo) & (entry["blo"] <= hi)
+                    blocks_skipped += int(np.count_nonzero(~keep))
+                    off = entry["off"]
+                    for bi in np.nonzero(keep)[0]:
+                        s = slice(off[bi], off[bi + 1])
+                        idx = entry["idx"][s]
+                        sc = wi * parts[s]
+                        if self._deleted is not None:
+                            live = ~self._deleted[idx]
+                            if not live.all():
+                                idx, sc = idx[live], sc[live]
+                                if idx.size == 0:
+                                    continue
+                        m = matched[idx]
+                        acc[idx[m]] += sc[m]
                 else:
-                    acc[idx] += sc
-                    new = ~matched[idx]
-                    n_matched += int(np.count_nonzero(new))
-                    matched[idx] = True
-                    if hits is not None:
-                        hits[idx] += 1
-        self.last_pruned_terms = pruned_terms
-        self.last_blocks_skipped = blocks_skipped
-        if conjunctive:
-            # conjunctive never prunes (only_existing stays False), so
-            # every posting passed the hits counter exactly once per term
-            cand = np.nonzero(hits == len(qterms))[0]
-        else:
-            cand = np.nonzero(matched)[0]
-        if cand.size == 0:
-            return []
-        scores = acc[cand]
-        cand = cand + base  # back to global doc_ids
-        if cand.size > k:
-            # partition bound: keep every candidate scoring >= the k-th
-            # largest (ties widen the set; doc_id tiebreak resolves below)
-            kth = -np.partition(-scores, k - 1)[k - 1]
-            keep = scores >= kth
-            cand, scores = cand[keep], scores[keep]
-        order = np.lexsort((cand, -scores))[:k]
-        out = []
-        for rank, j in enumerate(order):
-            did = int(cand[j])
-            out.append(ServeResult(
-                query_id=query_id, rank=rank, doc_id=did,
-                doc_no=(str(self.doc_nos[did]) if self.doc_nos is not None else None),
-                score=float(scores[j]),
-            ))
-        return out
+                    # full path: O(1) numpy calls over the whole term
+                    idx = entry["idx"]
+                    if idx.size == 0:
+                        continue
+                    sc = wi * parts
+                    if self._deleted is not None:
+                        live = ~self._deleted[idx]
+                        if not live.all():
+                            idx, sc = idx[live], sc[live]
+                    if idx.size:
+                        acc[idx] += sc
+                        new = ~matched[idx]
+                        n_matched += int(np.count_nonzero(new))
+                        cand_parts.append(idx[new])
+                        matched[idx] = True
+                        if hits is not None:
+                            hits[idx] += 1
+            self.last_pruned_terms = pruned_terms
+            self.last_blocks_skipped = blocks_skipped
+            if not cand_parts:
+                return []
+            cand = (
+                np.concatenate(cand_parts) if len(cand_parts) > 1
+                else cand_parts[0]
+            )
+            if conjunctive:
+                # conjunctive never prunes (only_existing stays False), so
+                # every posting passed the hits counter exactly once per
+                # term
+                cand = cand[hits[cand] == len(qterms)]
+            if cand.size == 0:
+                return []
+            scores = acc[cand]
+            cand = cand + base  # back to global doc_ids
+            if cand.size > k:
+                # partition bound: keep every candidate scoring >= the
+                # k-th largest (ties widen the set; doc_id tiebreak
+                # resolves below)
+                kth = -np.partition(-scores, k - 1)[k - 1]
+                keep = scores >= kth
+                cand, scores = cand[keep], scores[keep]
+            order = np.lexsort((cand, -scores))[:k]
+            out = []
+            for rank, j in enumerate(order):
+                did = int(cand[j])
+                out.append(ServeResult(
+                    query_id=query_id, rank=rank, doc_id=did,
+                    doc_no=(str(self.doc_nos[did])
+                            if self.doc_nos is not None else None),
+                    score=float(scores[j]),
+                ))
+            return out
+        finally:
+            # targeted reset: every touched position is a candidate (acc
+            # is only ever written where matched gets/has True), so the
+            # pooled buffers come back clean in O(candidates) — even when
+            # an exception unwinds mid-search
+            if cand_parts:
+                touched = (
+                    np.concatenate(cand_parts) if len(cand_parts) > 1
+                    else cand_parts[0]
+                )
+                acc[touched] = 0.0
+                matched[touched] = False
+                if hits is not None:
+                    hits[touched] = 0
 
 
 class ShardedServer:
