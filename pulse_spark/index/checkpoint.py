@@ -64,6 +64,7 @@ def write_stage(
     stage: str,
     partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> float:
     """Parquet write only — the thread-safe half of commit_stage (no
     manifest mutation), so independent stages can write CONCURRENTLY from
@@ -76,6 +77,8 @@ def write_stage(
     if sort_within:
         w = w.sortWithinPartitions(*sort_within)
     writer = w.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -107,9 +110,10 @@ def commit_stage(
     df: DataFrame,
     partition_by: list[str] | None = None,
     sort_within: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """write_stage + record_stage (the sequential convenience form)."""
-    wall = write_stage(df, out_dir, stage, partition_by, sort_within)
+    wall = write_stage(df, out_dir, stage, partition_by, sort_within, options)
     return record_stage(df.sparkSession, out_dir, manifest, stage, wall)
 
 

@@ -328,6 +328,8 @@ def _merge_segments(spark, in_dirs, out_dir, manifest, settings,
 
         return blocks_pass
 
+    from pulse_spark.index.segments import SEGMENT_ROW_GROUP_BYTES
+
     cols = [f.name for f in SEGMENT_SCHEMA.fields]
     union = None
     for d, off in zip(in_dirs, offsets):
@@ -339,6 +341,7 @@ def _merge_segments(spark, in_dirs, out_dir, manifest, settings,
     ckpt.commit_stage(
         out_dir, manifest, "segments", union,
         partition_by=["doc_range"], sort_within=["term", "min_doc_id"],
+        options={"parquet.block.size": str(SEGMENT_ROW_GROUP_BYTES)},
     )
     manifest["stages"]["segments"]["range_size"] = rs
     manifest["stages"]["segments"]["n_ranges"] = -(-id_space // rs)

@@ -42,6 +42,18 @@ from pulse_spark.compression.codecs import (
 )
 from pulse_spark.config import BM25_B, BM25_K1, IndexingSettings
 
+# Parquet row-group size for the segments stage.  Row-group min/max
+# stats on `term` are the ONLY pruning unit a term-filtered reader gets
+# (parquet predicate pushdown decodes whole row groups, and the sidecar's
+# pyarrow scan does no page-level pruning) — with Spark's 128 MB default,
+# one cold hot-term lookup at a 9M-doc corpus decompressed hundreds of
+# MB of other terms' blocks (measured 1.48 s read for one term).  1 MB
+# groups make the pruning unit ~the size of one term's local run: same
+# lookup reads a few MB (measured ~10x faster cold).  Cost: more row
+# groups per file — a full-scan (merge/compact) pays a few % more footer
+# and boundary overhead, which the merge bench absorbs in noise.
+SEGMENT_ROW_GROUP_BYTES = 1 << 20
+
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("doc_range", T.IntegerType()),
     T.StructField("term", T.StringType()),
@@ -160,6 +172,7 @@ def build_segments(
     committed = ckpt.commit_stage(
         out_dir, manifest, "segments", seg, partition_by=["doc_range"],
         sort_within=["term", "min_doc_id"],
+        options={"parquet.block.size": str(SEGMENT_ROW_GROUP_BYTES)},
     )
     manifest["stages"]["segments"]["range_size"] = range_size
     manifest["stages"]["segments"]["n_ranges"] = n_ranges
