@@ -319,6 +319,22 @@ class PointServer:
             out.update(self._blocks_for(retry))
         return out
 
+    def close(self):
+        """Release the read pool and parquet handles.  Optional —
+        process exit does the same; long-lived processes that churn many
+        servers should call it (or use the server as a context
+        manager)."""
+        self._read_pool.shutdown(wait=False)
+        self._seg_files.clear()
+        with self._cache_lock:
+            self._block_cache.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def _read_terms(self, terms: list[str]):
         """One pyarrow Table of the given terms' segment rows: row
         groups selected by the init-time stats index, read in parallel
@@ -605,6 +621,16 @@ class ShardedServer:
             )
             for i in range(n_shards)
         ]
+
+    def close(self):
+        for s in self.shards:
+            s.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def search(
         self,

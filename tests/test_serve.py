@@ -244,3 +244,12 @@ def test_concurrent_searches_match_sequential(served_index):
     with ThreadPoolExecutor(max_workers=8) as ex:
         for qid, got in ex.map(run, queries * 6):
             assert got == expected[qid], qid
+
+
+def test_server_close_and_context_manager(served_index):
+    """close() releases the pool/handles; a context-managed server works
+    and a closed server raises rather than serving stale state."""
+    idx, _ = served_index
+    with PointServer(idx.out_dir) as srv:
+        assert srv.search("join merge", k=5) is not None
+    assert srv._seg_files == []
