@@ -236,6 +236,54 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Inspect a committed index without a SparkSession: corpus stats,
+    vocabulary size, per-stage bytes and rows (from the manifest's
+    lineage), live tombstone count, and the settings that bind the
+    query path.  Driver-side pyarrow/manifest reads only — safe to run
+    against an index a cluster is actively serving."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(args.index, "manifest.json")) as f:
+        manifest = json.load(f)
+
+    def du(path):
+        total = 0
+        for root, _d, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, x)) for x in files)
+        return total
+
+    stats = pq.read_table(os.path.join(args.index, "stats")).to_pylist()[0]
+    out = {
+        "index": os.path.abspath(args.index),
+        "n_docs": int(stats["n_docs"]),
+        "adl": round(float(stats["adl"]), 6),
+        "id_space": int(stats.get("id_space") or stats["n_docs"]),
+        "n_terms": int(sum(
+            pq.ParquetFile(os.path.join(r, x)).metadata.num_rows
+            for r, _d, fs in os.walk(os.path.join(args.index, "terms"))
+            for x in fs if x.endswith(".parquet")
+        )),
+        "settings": manifest.get("settings"),
+        "stages": {
+            s: {"rows": v.get("rows"),
+                "bytes": du(os.path.join(args.index, s)),
+                "wall_sec": v.get("wall_sec")}
+            for s, v in manifest.get("stages", {}).items()
+        },
+        "merged_from": manifest.get("merged_from"),
+        "vacuumed_from": manifest.get("vacuumed_from"),
+    }
+    from pulse_spark.index.deletes import deleted_id_array
+
+    dels = deleted_id_array(args.index)
+    out["n_tombstoned"] = int(dels.size) if dels is not None else 0
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_eval(args) -> int:
     """trec_eval analog (trec_eval/README.md:22-36 workflow): score a
     TREC run file against a qrels file with eval.py's metrics.
@@ -340,6 +388,11 @@ def main(argv=None) -> int:
     dl.add_argument("--doc-nos-file", default=None,
                     help="file with one doc_no per line")
     dl.set_defaults(fn=cmd_delete)
+
+    st = sub.add_parser("stats", help="inspect a committed index "
+                                      "(no Spark: manifest + footers)")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     v = sub.add_parser("vacuum", help="rewrite the index without "
                                       "tombstoned docs (new dir)")

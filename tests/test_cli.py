@@ -125,3 +125,34 @@ def test_stemming_improves_recall_through_eval_cli(spark, tmp_path, capsys):
     assert recalls[True] > recalls[False]          # the Table 4.6 effect
     assert abs(recalls[True] - 1.0) < 1e-6         # variants recovered
     assert abs(recalls[False] - 0.5) < 1e-6        # exact-match ceiling
+
+
+def test_cli_stats(spark, transcripts_path, tmp_path, capsys):
+    """`stats` inspects a committed index driver-side (no Spark jobs):
+    corpus stats, vocab size, per-stage bytes/rows, tombstone count."""
+    import json as _json
+
+    from pulse_spark import cli
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.index.deletes import delete_docs
+    from pulse_spark.index.persist import build_persisted_index
+
+    tr = spark.read.parquet(transcripts_path)
+    idx = build_persisted_index(
+        spark, tr, str(tmp_path / "stx"),
+        IndexingSettings(term_buckets=4, block_size=32),
+        build_segments=True,
+    )
+    victim = idx.docs.select("doc_no").first()["doc_no"]
+    assert delete_docs(spark, idx.out_dir, [victim]) == 1
+
+    rc = cli.main(["stats", "--index", idx.out_dir])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["n_docs"] == idx.n_docs
+    assert out["n_terms"] > 0
+    assert out["n_tombstoned"] == 1
+    assert out["settings"]["term_buckets"] == 4
+    for stage in ("docs", "postings", "terms", "stats", "segments"):
+        assert out["stages"][stage]["bytes"] > 0
+        assert out["stages"][stage]["rows"] >= 1
