@@ -135,12 +135,19 @@ def merge_many(
         raise ValueError("segment merge needs dense doc_ids on all inputs")
 
     if check_disjoint:
-        union_nos = docs_in[0].select("doc_no")
-        for df in docs_in[1:]:
-            union_nos = union_nos.unionByName(df.select("doc_no"))
+        # count DISTINCT source inputs per doc_no — a duplicate doc_no
+        # WITHIN one input is that input's own business (the old
+        # pairwise intersect accepted it; a raw union-count would
+        # misreport it as a cross-input overlap)
+        union_nos = docs_in[0].select("doc_no").withColumn("_src", F.lit(0))
+        for i, df in enumerate(docs_in[1:], start=1):
+            union_nos = union_nos.unionByName(
+                df.select("doc_no").withColumn("_src", F.lit(i))
+            )
         dup = (
-            union_nos.groupBy("doc_no").count()
-            .where(F.col("count") > 1).limit(1).collect()
+            union_nos.groupBy("doc_no")
+            .agg(F.countDistinct("_src").alias("_n_src"))
+            .where(F.col("_n_src") > 1).limit(1).collect()
         )
         if dup:
             raise ValueError(

@@ -55,6 +55,24 @@ class ServeResult:
     score: float
 
 
+def load_doc_no_array(out_dir: str, id_space: int) -> np.ndarray:
+    """doc_id -> doc_no object array for a committed index (driver-side
+    pyarrow).  Shared by PointServer and ShardedServer so a sharded
+    composition loads it ONCE instead of once per shard — or, worse,
+    via a throwaway whole-index server."""
+    import pyarrow.parquet as pq
+
+    d = pq.read_table(
+        os.path.join(out_dir, "docs"), columns=["doc_id", "doc_no"]
+    )
+    ids = np.asarray(d["doc_id"].to_numpy())
+    nos = np.asarray(d["doc_no"].to_pylist(), dtype=object)
+    order = np.argsort(ids)
+    arr = np.empty(id_space, dtype=object)
+    arr[ids[order]] = nos[order]
+    return arr
+
+
 class PointServer:
     """Serve BM25/TFIDF top-k point queries from a committed segments
     index without a SparkSession (requires build_segments=True at build
@@ -71,7 +89,6 @@ class PointServer:
         full copy)."""
         import json
 
-        import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
         with open(os.path.join(out_dir, "manifest.json")) as f:
@@ -133,15 +150,7 @@ class PointServer:
         if doc_nos is not None:
             self.doc_nos = doc_nos
         elif load_doc_nos:
-            d = pq.read_table(
-                os.path.join(out_dir, "docs"), columns=["doc_id", "doc_no"]
-            )
-            ids = np.asarray(d["doc_id"].to_numpy())
-            nos = np.asarray(d["doc_no"].to_pylist(), dtype=object)
-            order = np.argsort(ids)
-            arr = np.empty(self.id_space, dtype=object)
-            arr[ids[order]] = nos[order]
-            self.doc_nos = arr
+            self.doc_nos = load_doc_no_array(out_dir, self.id_space)
 
         self._seg_cols = [
             "term", "n", "doc_ids_bin", "tfs_bin", "doc_lens_bin",
@@ -159,7 +168,7 @@ class PointServer:
         # scanner re-opens footers and re-evaluates stats per query.
         # Shard servers keep only their doc_range partitions' files.
         import re as _re
-        import threading as _threading
+        import threading
 
         self._seg_files: list[tuple] = []  # (ParquetFile, lock, spans)
         seg_root = os.path.join(out_dir, "segments")
@@ -185,17 +194,17 @@ class PointServer:
                     # stats missing -> never prunable (always read)
                     spans.append((st.min, st.max) if st is not None
                                  else (None, None))
-                self._seg_files.append((pf, _threading.Lock(), spans))
+                self._seg_files.append((pf, threading.Lock(), spans))
         from concurrent.futures import ThreadPoolExecutor
 
         self._read_pool = ThreadPoolExecutor(max_workers=8)
+        self._closed = False
         # LRU of DECODED per-term blocks — repeated/hot query terms skip
         # both the parquet read and the varint/unary decode (the analog
         # of the reference's OS page cache over its mmap'd postings).
         # Guarded by a lock: searches from concurrent threads share the
         # cache safely (everything else a search touches is either a
         # function-local array or a read-only structure).
-        import threading
         from collections import OrderedDict
 
         self._cache_terms = cache_terms
@@ -323,7 +332,10 @@ class PointServer:
         """Release the read pool and parquet handles.  Optional —
         process exit does the same; long-lived processes that churn many
         servers should call it (or use the server as a context
-        manager)."""
+        manager).  A closed server REFUSES further searches (without
+        the guard, an empty file list would just serve 0 hits for every
+        query — a use-after-close bug masquerading as an empty index)."""
+        self._closed = True
         self._read_pool.shutdown(wait=False)
         self._seg_files.clear()
         with self._cache_lock:
@@ -393,6 +405,8 @@ class PointServer:
         occurrence (search.go:30-46); absent terms dropped; conjunctive
         requires all remaining distinct terms (search.go:113-116); ties
         (score desc, doc_id asc)."""
+        if self._closed:
+            raise RuntimeError("PointServer is closed")
         if metric.upper() not in ("BM25", "TFIDF"):
             raise ValueError(f"{metric} is not a valid metric")
         use_bm25 = metric.upper() == "BM25"
@@ -506,7 +520,12 @@ class PointServer:
                         m = matched[idx]
                         acc[idx[m]] += sc[m]
                 else:
-                    # full path: O(1) numpy calls over the whole term
+                    # full path: O(1) numpy calls over the whole term.
+                    # The candidate ids are recorded BEFORE acc is
+                    # written — the finally-reset only clears positions
+                    # in cand_parts, so an exception landing between the
+                    # two must never leave an unrecorded dirty position
+                    # in the pooled buffer.
                     idx = entry["idx"]
                     if idx.size == 0:
                         continue
@@ -516,11 +535,11 @@ class PointServer:
                         if not live.all():
                             idx, sc = idx[live], sc[live]
                     if idx.size:
-                        acc[idx] += sc
                         new = ~matched[idx]
                         n_matched += int(np.count_nonzero(new))
                         cand_parts.append(idx[new])
                         matched[idx] = True
+                        acc[idx] += sc
                         if hits is not None:
                             hits[idx] += 1
             self.last_pruned_terms = pruned_terms
@@ -610,14 +629,21 @@ class ShardedServer:
         n_shards = max(1, min(n_shards, n_ranges))
         # contiguous doc_range slices -> contiguous doc_id spans per shard
         bounds = [round(i * n_ranges / n_shards) for i in range(n_shards + 1)]
-        # one shared doc_no array (per-host copies in a real fleet)
-        ref = PointServer(out_dir, load_doc_nos=True, cache_terms=0)
+        # one shared doc_no array, loaded DIRECTLY (per-host copies in a
+        # real fleet) — not via a throwaway whole-index PointServer,
+        # whose init would redundantly scan every segment footer and
+        # load the full lexicon just to be discarded
+        import pyarrow.parquet as pq
+
+        stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
+        id_space = int(stats.get("id_space") or stats["n_docs"])
+        shared_nos = load_doc_no_array(out_dir, id_space)
         self.shards = [
             PointServer(
                 out_dir,
                 cache_terms=cache_terms,
                 doc_ranges=set(range(bounds[i], bounds[i + 1])),
-                doc_nos=ref.doc_nos,
+                doc_nos=shared_nos,
             )
             for i in range(n_shards)
         ]

@@ -253,3 +253,5 @@ def test_server_close_and_context_manager(served_index):
     with PointServer(idx.out_dir) as srv:
         assert srv.search("join merge", k=5) is not None
     assert srv._seg_files == []
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.search("join merge", k=5)
