@@ -91,6 +91,7 @@ def decontaminate(
     benchmark: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated): flag training docs that share any
     n-token shingle with a benchmark/eval corpus — the train-test
@@ -99,19 +100,33 @@ def decontaminate(
     number of DISTINCT contaminated shingles in the doc.
 
     Scale shape: the benchmark side is small by nature (eval suites are
-    10^3-10^6 docs, the training corpus 10^9+), so its distinct shingle
-    set BROADCASTS; the training side is one explode + broadcast
-    semi-join + per-doc count with map-side partial agg — the corpus is
-    never shuffled.  For benchmark sets too big to broadcast, swap the
-    broadcast join for a bucketed equi-join on the shingle hash; the
-    operator shape is otherwise unchanged."""
+    10^3-10^6 docs, the training corpus 10^9+), so with
+    strategy="broadcast" (default) its distinct shingle set BROADCASTS
+    and the training side is one explode + broadcast semi-join + per-doc
+    count with map-side partial agg — the corpus is never shuffled.
+
+    strategy="shuffle" is the fallback for benchmark sets too big to
+    broadcast (a mega-benchmark union, or decontaminating against
+    another CORPUS): a plain equi-join on the shingle — both sides
+    hash-partition on the join key, so the corpus shingles shuffle once
+    but nothing ever collects to one place.  Result-identical to the
+    broadcast path (pinned in tests)."""
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown decontaminate strategy: {strategy!r}")
     bench_sh = (
         token_shingles(benchmark, id_col=id_col, n=n)
         .select("shingle").distinct()
     )
+    if strategy == "broadcast":
+        bench_sh = F.broadcast(bench_sh)
+    else:
+        # pin the hash-partitioned shape (Catalyst would otherwise
+        # auto-broadcast a small-ESTIMATE side — the one thing this
+        # strategy exists to avoid)
+        bench_sh = bench_sh.hint("shuffle_hash")
     hits = (
         token_shingles(docs, id_col=id_col, n=n)
-        .join(F.broadcast(bench_sh), "shingle")
+        .join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )

@@ -300,6 +300,13 @@ def _banded_buckets(
              F.col("bb.bucket").alias("bucket"))
 
 
+def _vector_bytes_cap(dim: int, budget_bytes: int = 256 << 20) -> int:
+    """Largest bucket size whose stacked float64 vector matrix fits the
+    per-worker budget — the residency term the gram-chunking does NOT
+    bound (a 100k-row bucket at dim 768 is ~614 MB of vectors alone)."""
+    return max(64, budget_bytes // (8 * max(1, dim)))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     min_cosine: float = 0.95,
@@ -342,9 +349,13 @@ def embedding_near_dup_pairs(
 
     The 100 TB shape: groupBy(band, bucket) — never an all-pairs
     crossJoin; the hot-bucket cap bounds degenerate buckets (e.g.
-    all-zero embeddings) like the minhash path's; gram chunks are
-    ≤2^22 cells so executor memory stays flat regardless of bucket
-    size."""
+    all-zero embeddings) like the minhash path's.  Worker residency is
+    O(bucket_size × dim) — the bucket's stacked vectors — plus a gram
+    chunk bounded to ≤2^22 cells; the vector term is the one that can
+    blow up at high dim, so the cap is tightened to whatever bucket
+    size keeps the stacked float64 matrix ≤256 MB at the observed dim
+    (e.g. dim 768 → ≤43k vectors/bucket even if max_bucket_size asks
+    for 100k)."""
     import math
 
     e = embeddings.select(
@@ -367,6 +378,12 @@ def embedding_near_dup_pairs(
         bits_corpus = math.ceil(math.log2(max(_corpus_count(e), 2) / 64))
         bits_per_band = max(2, min(16, bits_corpus, bits_recall))
     bk = _banded_buckets(e, dim, bands, bits_per_band, carry=("v", "n"))
+    # bytes-aware cap: one (band,bucket) group lands whole in one Python
+    # worker as an m×dim float64 matrix — bound THAT (256 MB), not just
+    # the gram chunk, so peak memory stays flat at any dim
+    bytes_cap = _vector_bytes_cap(dim)
+    if max_bucket_size is None or max_bucket_size > bytes_cap:
+        max_bucket_size = bytes_cap
     if max_bucket_size is not None:
         # sizes from the id projection only (no vector duplication in the
         # size agg); broadcast anti-join drops the rare oversized buckets

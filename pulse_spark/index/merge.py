@@ -67,6 +67,16 @@ def merge_indexes(
                       check_disjoint=check_disjoint)
 
 
+def _spans_disjoint(spans: list[tuple]) -> bool:
+    """True iff every input's [min,max] doc_no interval is disjoint from
+    every other's — a PROOF of doc_no disjointness that costs one
+    shuffle-free agg per input (see check_disjoint below)."""
+    spans = sorted(spans)
+    return all(
+        spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1)
+    )
+
+
 def merge_many(
     spark: SparkSession,
     in_dirs: list[str],
@@ -91,6 +101,10 @@ def merge_many(
     postings union; disable for trusted disjoint batches)."""
     if len(in_dirs) < 2:
         raise ValueError("merge needs at least two inputs")
+    if any(os.path.abspath(d) == os.path.abspath(out_dir) for d in in_dirs):
+        # refuse BEFORE any stage write — merging an index into itself
+        # would clobber the input mid-read
+        raise ValueError("merge out_dir must differ from every input dir")
     manifests = [ckpt.load_manifest(d) for d in in_dirs]
     for d, m in zip(in_dirs, manifests):
         if m["settings"] is None:
@@ -135,6 +149,20 @@ def merge_many(
         raise ValueError("segment merge needs dense doc_ids on all inputs")
 
     if check_disjoint:
+        # cheap exact pre-pass: per-input (min,max) doc_no is a
+        # map-side-combine agg (one row to the driver, NO shuffle).
+        # Corpora are usually ingested in disjoint doc_no ranges
+        # (per-batch prefixes, monotone ids) — when every pair of
+        # intervals is disjoint the inputs are PROVABLY disjoint and the
+        # O(total-docs) union+groupBy below is skipped entirely; only
+        # overlapping intervals pay for the full check (round-4 advisor:
+        # at 10^12 docs the unconditional shuffle dominated the merge's
+        # "cheap" guard)
+        intervals_disjoint = _spans_disjoint([
+            tuple(df.agg(F.min("doc_no"), F.max("doc_no")).collect()[0])
+            for df in docs_in
+        ])
+    if check_disjoint and not intervals_disjoint:
         # count DISTINCT source inputs per doc_no — a duplicate doc_no
         # WITHIN one input is that input's own business (the old
         # pairwise intersect accepted it; a raw union-count would
@@ -250,9 +278,22 @@ def _merge_tombstones(spark, in_dirs, offsets, out_dir):
     doc_ids shifted by the same offset the docs union used — deleting
     then merging must equal merging then deleting (takedown safety;
     pinned in tests/test_merge.py).  O(deleted) rows, zero cost when no
-    input has tombstones."""
+    input has tombstones.
+
+    Idempotent like every other merge stage: the output's deletes/ tree
+    is CLEARED first, so re-merging into a previously-used out_dir
+    cannot leave a prior run's tombstones behind (their doc_id offsets
+    were computed for the OLD input set — stale ones would silently
+    tombstone live docs of the new index).  Post-merge `delete_docs`
+    calls append fresh uuid subdirs as usual."""
+    import shutil
+
     from pulse_spark.index.deletes import load_deletes
 
+    out_deletes = os.path.join(out_dir, "deletes")
+    # out_dir != every in_dir is guaranteed by merge_many's early guard,
+    # so this never removes an INPUT's tombstones
+    shutil.rmtree(out_deletes, ignore_errors=True)
     parts = []
     for d, off in zip(in_dirs, offsets):
         dels = load_deletes(spark, d)
@@ -262,13 +303,11 @@ def _merge_tombstones(spark, in_dirs, offsets, out_dir):
         parts.append(dels.withColumn("doc_id", F.col("doc_id") + F.lit(off)))
     if not parts:
         return
-    import uuid
-
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
     merged.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "deletes", uuid.uuid4().hex)
+        os.path.join(out_deletes, "merged")
     )
 
 

@@ -191,9 +191,14 @@ class PointServer:
                 spans = []
                 for i in range(md.num_row_groups):
                     st = md.row_group(i).column(term_i).statistics
-                    # stats missing -> never prunable (always read)
-                    spans.append((st.min, st.max) if st is not None
-                                 else (None, None))
+                    # stats missing OR present-without-min/max (parquet
+                    # writers legally drop min/max, e.g. parquet-mr on
+                    # oversized binary values) -> never prunable
+                    spans.append(
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
                 self._seg_files.append((pf, threading.Lock(), spans))
         from concurrent.futures import ThreadPoolExecutor
 
@@ -225,7 +230,8 @@ class PointServer:
             tl.hits = np.zeros(self._span, dtype=np.int32)
         return tl.acc, tl.matched, (tl.hits if conjunctive else None)
 
-    def _blocks_for(self, qterms: list[str]) -> dict[str, dict]:
+    def _blocks_for(self, qterms: list[str],
+                    _rebuild: bool = False) -> dict[str, dict]:
         """term -> {"idx","tf","lens": fused posting arrays, "off": block
         offsets (B+1), "blo","bhi","bmt","bmp": per-block metadata
         arrays, "pb","pt": memoized partials|None} via LRU.
@@ -259,8 +265,17 @@ class PointServer:
         immutable once built; the memo slots are a benign write-once
         race (both writers compute identical arrays, assignment is
         atomic)."""
-        with self._cache_lock:
-            missing = [t for t in qterms if t not in self._block_cache]
+        if _rebuild:
+            # retry pass after a concurrent eviction: rebuild every term
+            # unconditionally — insertion and re-read then happen inside
+            # ONE locked region below, leaving no window for another
+            # eviction, so the retry terminates at depth 2 (the probing
+            # variant could in principle race an adversarial evictor
+            # forever under a tiny cache)
+            missing = list(dict.fromkeys(qterms))
+        else:
+            with self._cache_lock:
+                missing = [t for t in qterms if t not in self._block_cache]
         if missing:
             tbl = self._read_terms(missing)
             raw: dict[str, list] = {t: [] for t in missing}
@@ -325,7 +340,7 @@ class PointServer:
             while len(self._block_cache) > floor:
                 self._block_cache.popitem(last=False)
         if retry:
-            out.update(self._blocks_for(retry))
+            out.update(self._blocks_for(retry, _rebuild=True))
         return out
 
     def close(self):
@@ -593,6 +608,42 @@ class PointServer:
                     hits[touched] = 0
 
 
+def _shard_worker(conn, out_dir: str, cache_terms: int, doc_ranges: list):
+    """Worker-process loop for ShardedServer(parallel=True): owns ONE
+    shard PointServer (its own segment handles, block cache and
+    span-sized accumulators — exactly what a shard HOST owns in a real
+    fleet) and serves search requests over a Pipe.  doc_no resolution
+    stays parent-side (one shared array), so workers ship only
+    (doc_id, score) pairs back."""
+    try:
+        srv = PointServer(out_dir, load_doc_nos=False,
+                          cache_terms=cache_terms,
+                          doc_ranges=set(doc_ranges))
+    except BaseException as e:  # noqa: BLE001 — relay init failure
+        try:
+            conn.send(("init_err", repr(e)))
+        finally:
+            conn.close()
+        return
+    conn.send(("ready", None))
+    while True:
+        try:
+            msg = conn.recv()
+        except EOFError:
+            break
+        if msg is None:
+            break
+        try:
+            text, k, metric, conjunctive, query_id = msg
+            res = srv.search(text, k=k, metric=metric,
+                             conjunctive=conjunctive, query_id=query_id)
+            conn.send(("ok", [(r.doc_id, r.score) for r in res]))
+        except Exception as e:  # noqa: BLE001 — relay, keep serving
+            conn.send(("err", repr(e)))
+    srv.close()
+    conn.close()
+
+
 class ShardedServer:
     """Horizontal serving: N PointServers, each owning a disjoint subset
     of the index's doc_range partitions, merged by concat + global top-k
@@ -605,16 +656,29 @@ class ShardedServer:
     merge re-sorts by (score desc, doc_id asc): rank-identical to a
     single PointServer over the whole index (pinned in tests).
 
-    In production each shard is its own process/host with ~1/N of the
-    index resident (the one-node RAM envelope divided by N — each shard's
-    segment scan, block cache AND dense accumulators cover only its own
-    doc_id span); this in-process composition is the same merge path with
-    function calls in place of RPCs.  Shard fan-out is embarrassingly
-    parallel; the merge handles k·N rows.
+    Two compositions of the same merge path:
+
+    - parallel=True — one worker PROCESS per shard (multiprocessing
+      "spawn": immune to fork-with-threads lock hazards; numpy scoring
+      holds the GIL, so threads cannot fan out — the QPS bench measured
+      threads ANTI-scaling 574→57 qps), request fanned out to every
+      shard BEFORE any reply is awaited: per-query latency is
+      max-over-shards plus one pipe round-trip.  Standard spawn
+      contract: construct from an importable module or under
+      ``if __name__ == "__main__":`` — spawn re-imports the caller's
+      __main__, so an unguarded top-level script would re-execute
+      itself in every worker.  This is the fleet
+      topology with pipes in place of RPCs; each worker holds ~1/N of
+      the index (segment handles, block cache, span-sized accumulators),
+      and doc_no resolution uses ONE parent-side array.
+    - parallel=False (default) — in-process shard servers called
+      sequentially: per-query latency is SUM-over-shards; useful for
+      tests and for memory-bounding a single host without process
+      overhead.
     """
 
     def __init__(self, out_dir: str, n_shards: int = 2,
-                 cache_terms: int = 4096):
+                 cache_terms: int = 4096, parallel: bool = False):
         import json
 
         with open(os.path.join(out_dir, "manifest.json")) as f:
@@ -637,20 +701,59 @@ class ShardedServer:
 
         stats = pq.read_table(os.path.join(out_dir, "stats")).to_pylist()[0]
         id_space = int(stats.get("id_space") or stats["n_docs"])
-        shared_nos = load_doc_no_array(out_dir, id_space)
-        self.shards = [
-            PointServer(
-                out_dir,
-                cache_terms=cache_terms,
-                doc_ranges=set(range(bounds[i], bounds[i + 1])),
-                doc_nos=shared_nos,
-            )
-            for i in range(n_shards)
-        ]
+        self._nos = load_doc_no_array(out_dir, id_space)
+        self.parallel = parallel
+        self.shards: list[PointServer] = []
+        self._procs: list = []
+        self._conns: list = []
+        if parallel:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            for i in range(n_shards):
+                parent, child = ctx.Pipe()
+                p = ctx.Process(
+                    target=_shard_worker,
+                    args=(child, out_dir, cache_terms,
+                          sorted(range(bounds[i], bounds[i + 1]))),
+                    daemon=True,
+                )
+                p.start()
+                child.close()
+                self._procs.append(p)
+                self._conns.append(parent)
+            for i, c in enumerate(self._conns):
+                tag, payload = c.recv()
+                if tag != "ready":
+                    self.close()
+                    raise RuntimeError(f"shard {i} failed to start: {payload}")
+        else:
+            self.shards = [
+                PointServer(
+                    out_dir,
+                    cache_terms=cache_terms,
+                    doc_ranges=set(range(bounds[i], bounds[i + 1])),
+                    doc_nos=self._nos,
+                )
+                for i in range(n_shards)
+            ]
 
     def close(self):
         for s in self.shards:
             s.close()
+        for c in self._conns:
+            try:
+                c.send(None)
+            except (BrokenPipeError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+        for c in self._conns:
+            c.close()
+        self._conns.clear()
+        self._procs.clear()
 
     def __enter__(self):
         return self
@@ -666,6 +769,37 @@ class ShardedServer:
         conjunctive: bool = False,
         query_id: int = 0,
     ) -> list[ServeResult]:
+        if self.parallel:
+            msg = (text, k, metric, conjunctive, query_id)
+            for c in self._conns:  # fan out to EVERY shard first…
+                c.send(msg)
+            pairs: list[tuple[int, float]] = []
+            errs: list[str] = []
+            # drain EVERY shard's reply before raising — a partial read
+            # would leave replies in the pipes and desync the protocol
+            # for the next query
+            for i, c in enumerate(self._conns):
+                try:
+                    tag, payload = c.recv()
+                except EOFError:
+                    errs.append(f"shard {i} died mid-query")
+                    continue
+                if tag != "ok":
+                    errs.append(f"shard {i} search failed: {payload}")
+                else:
+                    pairs.extend(payload)
+            if errs:
+                raise RuntimeError("; ".join(errs))
+            merged = sorted(pairs, key=lambda t: (-t[1], t[0]))[:k]
+            return [
+                ServeResult(
+                    query_id=query_id, rank=i, doc_id=d,
+                    doc_no=(str(self._nos[d])
+                            if self._nos is not None else None),
+                    score=s,
+                )
+                for i, (d, s) in enumerate(merged)
+            ]
         per_shard = [
             s.search(text, k=k, metric=metric, conjunctive=conjunctive,
                      query_id=query_id)

@@ -418,6 +418,29 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert out[12] == (0, False)
     assert len(out) == 3  # every training doc present (left join)
 
+    # bucketed fallback for benchmarks too big to broadcast: plain
+    # equi-join on the shingle, result-identical to the broadcast path
+    shuf = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in decontaminate(train, bench, n=8,
+                                   strategy="shuffle").collect()}
+    assert shuf == out
+    # and the plans actually differ in join strategy
+    plan_b = decontaminate(train, bench, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    plan_s = decontaminate(train, bench, n=8, strategy="shuffle")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+    import re
+
+    def shingle_joins(p):
+        return [ln for ln in p.splitlines()
+                if re.search(r"Join.*shingle", ln)]
+
+    assert all("Broadcast" not in ln for ln in shingle_joins(plan_s)), \
+        "shuffle strategy must not broadcast the shingle join"
+    with pytest.raises(ValueError, match="strategy"):
+        decontaminate(train, bench, strategy="nope")
+
 
 def test_repetition_score_semantics(spark):
     """dup_ratio = (total - distinct) / total shingles; short docs 0."""
@@ -436,3 +459,16 @@ def test_repetition_score_semantics(spark):
     assert out[1] == (4, 2, 0.5)
     assert out[2] == (2, 2, 0.0)
     assert out[3] == (0, 0, 0.0)
+
+
+def test_vector_bytes_cap_bounds_bucket_residency():
+    """A (band,bucket) group materializes its vectors as an m×dim
+    float64 matrix in ONE worker; the cap must shrink with dim so that
+    matrix stays ≤256 MB whatever max_bucket_size asks for (round-4
+    advisor finding: dim 768 × 100k rows = 614 MB of vectors)."""
+    from pulse_spark.datapipe.similarity import _vector_bytes_cap
+
+    assert _vector_bytes_cap(768) == (256 << 20) // (8 * 768)
+    assert _vector_bytes_cap(768) < 100_000  # tightens the old default
+    assert _vector_bytes_cap(8) * 8 * 8 <= 256 << 20
+    assert _vector_bytes_cap(1 << 40) == 64  # floor: never degenerate

@@ -292,3 +292,73 @@ def test_merge_resplits_different_range_sizes(spark, transcripts_path, tmp_path)
         for i, (x, y) in enumerate(zip(g_f, g_m)):
             if i < len(g_f) - 1:
                 assert x == y, (qid, i)
+
+
+def test_remerge_into_same_out_dir_is_idempotent(spark, transcripts_path,
+                                                 tmp_path):
+    """Re-running a merge into a previously-used out_dir must behave
+    like a fresh merge (every stage is overwrite-committed) — including
+    the deletes/ tree: a prior run's tombstones carry doc_id offsets
+    computed for the OLD input set and would silently tombstone live
+    docs of the new index (round-4 advisor finding)."""
+    import os
+    import shutil
+
+    from pulse_spark.index.deletes import delete_docs
+    from pulse_spark.index.persist import load_index
+
+    tr = spark.read.parquet(transcripts_path)
+    half_a = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    half_b = tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 1)
+    a = build_persisted_index(spark, half_a, str(tmp_path / "ia"), SETTINGS,
+                              build_segments=True)
+    b = build_persisted_index(spark, half_b, str(tmp_path / "ib"), SETTINGS,
+                              build_segments=True)
+
+    ra = _topk(a, spark)
+    victims = sorted({d for res in ra.values() for _, d, _ in res})[:3]
+    assert victims
+    delete_docs(spark, a.out_dir, victims)
+
+    out = str(tmp_path / "im")
+    # run 1: input a carries tombstones -> merged index must drop victims
+    merge_indexes(spark, a.out_dir, b.out_dir, out)
+    assert os.path.isdir(os.path.join(out, "deletes"))
+    t1 = _topk(load_index(spark, out), spark, k=20)
+    for res in t1.values():
+        assert not ({d for _, d, _ in res} & set(victims))
+
+    # "undelete" input a, then RE-merge into the SAME out_dir: the stale
+    # run-1 tombstones must not survive
+    shutil.rmtree(os.path.join(a.out_dir, "deletes"))
+    merge_indexes(spark, a.out_dir, b.out_dir, out)
+    assert not os.path.exists(os.path.join(out, "deletes"))
+    t2 = _topk(load_index(spark, out), spark, k=20)
+    # the re-merge must equal a FRESH merge of the same (undeleted)
+    # inputs — any stale run-1 tombstone would drop rows from t2
+    merge_indexes(spark, a.out_dir, b.out_dir, str(tmp_path / "iref"))
+    tref = _topk(load_index(spark, str(tmp_path / "iref")), spark, k=20)
+    assert t2 == tref, "stale tombstones leaked into re-merge"
+    served = {d for res in t2.values() for _, d, _ in res}
+    assert served - {d for res in t1.values() for _, d, _ in res}, \
+        "undelete changed nothing — test lost its bite"
+
+    # merging an index into itself is refused (never rm an input's
+    # tombstones)
+    with pytest.raises(ValueError, match="differ from every input"):
+        merge_indexes(spark, a.out_dir, b.out_dir, a.out_dir)
+
+
+def test_spans_disjoint_pre_pass():
+    """The disjointness guard's fast path: pairwise-disjoint [min,max]
+    doc_no intervals PROVE disjoint corpora with one shuffle-free agg
+    per input; only overlapping intervals fall through to the
+    O(total-docs) union+groupBy (round-4 advisor finding)."""
+    from pulse_spark.index.merge import _spans_disjoint
+
+    assert _spans_disjoint([("a", "c"), ("d", "f")])
+    assert _spans_disjoint([("d", "f"), ("a", "c"), ("g", "h")])  # unsorted in
+    assert not _spans_disjoint([("a", "d"), ("d", "f")])  # touching edge
+    assert not _spans_disjoint([("a", "z"), ("b", "c")])  # containment
+    assert not _spans_disjoint([("a", "c"), ("b", "f")])  # partial overlap
+    assert _spans_disjoint([("a", "a")])  # single input: trivially true

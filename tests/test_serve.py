@@ -13,7 +13,7 @@ from pulse_spark.config import IndexingSettings
 from pulse_spark.fixtures import gen_queries
 from pulse_spark.index.persist import build_persisted_index
 from pulse_spark.query.search import search_topk
-from pulse_spark.serve import PointServer
+from pulse_spark.serve import PointServer, ServeResult
 
 
 @pytest.fixture(scope="module", params=[True, False], ids=["compressed", "raw"])
@@ -182,6 +182,38 @@ def test_sharded_server_rank_identical(served_index, n_shards):
             assert got == exp, (qid, conjunctive)
 
 
+def test_sharded_parallel_fanout_rank_identical(served_index):
+    """parallel=True serves each shard from its own worker PROCESS with
+    the request fanned out before any reply is awaited (max-over-shards
+    latency, the fleet topology) — results must be byte-identical to the
+    sequential in-process composition and to a whole-index server, and
+    a worker error must surface, not hang."""
+    from pulse_spark.serve import ShardedServer
+
+    idx, srv = served_index
+    with ShardedServer(idx.out_dir, n_shards=3, parallel=True) as sharded:
+        assert sharded.shards == []  # no in-process servers in this mode
+        assert len(sharded._procs) == 3
+        for conjunctive in (False, True):
+            for qid, text in gen_queries():
+                exp = [(r.doc_id, r.rank, r.doc_no, round(r.score, 12))
+                       for r in srv.search(text, k=10,
+                                           conjunctive=conjunctive,
+                                           query_id=qid)]
+                got = [(r.doc_id, r.rank, r.doc_no, round(r.score, 12))
+                       for r in sharded.search(text, k=10,
+                                               conjunctive=conjunctive,
+                                               query_id=qid)]
+                assert got == exp, (qid, conjunctive)
+        with pytest.raises(RuntimeError, match="search failed"):
+            sharded.search("join", metric="NOPE")
+        # the worker survives a relayed error and keeps serving
+        assert sharded.search("join merge", k=3) == [
+            ServeResult(r.query_id, r.rank, r.doc_id, r.doc_no, r.score)
+            for r in srv.search("join merge", k=3)
+        ]
+
+
 def test_maxscore_pruned_small_k_matches_large_k_prefix(served_index):
     """MaxScore pruning is k-dependent: a k=1 search prunes hardest.  The
     pruned result must equal the prefix of a (barely-pruned) large-k
@@ -244,6 +276,26 @@ def test_concurrent_searches_match_sequential(served_index):
     with ThreadPoolExecutor(max_workers=8) as ex:
         for qid, got in ex.map(run, queries * 6):
             assert got == expected[qid], qid
+
+
+def test_blocks_for_rebuild_is_bounded_and_correct(served_index):
+    """The eviction-retry path is a forced REBUILD pass (depth-bounded),
+    not an unbounded probing recursion: _rebuild=True must produce the
+    same fused posting arrays as the normal probe path, for any cache
+    state — including a cache too small to hold the query's terms."""
+    import numpy as np
+
+    _idx, ref = served_index
+    terms = sorted(ref.df)[:3]  # real lexicon terms
+    assert terms, "fixture corpus must produce lexicon terms"
+    srv = PointServer(ref.out_dir, cache_terms=2)
+    a = srv._blocks_for(terms)
+    b = srv._blocks_for(terms, _rebuild=True)
+    for t in terms:
+        assert np.array_equal(a[t]["idx"], b[t]["idx"]), t
+        assert np.array_equal(a[t]["tf"], b[t]["tf"]), t
+        assert np.array_equal(a[t]["off"], b[t]["off"]), t
+    srv.close()
 
 
 def test_server_close_and_context_manager(served_index):
