@@ -95,7 +95,8 @@ def cmd_search(args) -> int:
         # is its own host and the merge is the same code over RPCs.
         from pulse_spark.serve import PointServer, ShardedServer
 
-        srv = (ShardedServer(args.index, n_shards=args.shards)
+        srv = (ShardedServer(args.index, n_shards=args.shards,
+                             parallel=args.parallel_shards)
                if args.shards > 1 else PointServer(args.index))
 
         def run_one(qid: int, text: str) -> None:
@@ -359,6 +360,9 @@ def main(argv=None) -> int:
     s.add_argument("--shards", type=int, default=1,
                    help="with --sidecar: serve via N doc_range shard "
                         "servers + global top-k merge (rank-identical)")
+    s.add_argument("--parallel-shards", action="store_true",
+                   help="with --shards N: one worker process per shard, "
+                        "fanned out per query (max-over-shards latency)")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("compact", help="compact streaming deltas into a "

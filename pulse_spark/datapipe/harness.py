@@ -49,6 +49,14 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_fingerprints_xxhash(spark, sf_dir):
+    """Fast-path twin of `fingerprints` (no_oracle: DuckDB lacks
+    xxhash64; pinned by tests/test_datapipe.py::
+    test_fingerprints_xxhash64_twin against the bit-exact pure-python
+    xxhash64)."""
+    return textstats.fingerprints(_docs(spark, sf_dir), method="xxhash64")
+
+
 def q_exact_dup_groups(spark, sf_dir):
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
@@ -197,6 +205,7 @@ DATAPIPE_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "fingerprints_xxhash": q_fingerprints_xxhash,
     "exact_dup_groups": q_exact_dup_groups,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -104,27 +104,50 @@ def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprints: full-text md5 of the normalized text plus a
-    min-shingle fingerprint (min md5 over 5-char shingles — the k=1
-    MinHash, a rolling-fingerprint analog)."""
+def fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                 method: str = "md5") -> DataFrame:
+    """Document fingerprints: full-text hash of the normalized text plus
+    a min-shingle fingerprint (min hash over 5-char shingles — the k=1
+    MinHash, a rolling-fingerprint analog).
+
+    method="md5" (default): hex-string md5 — the oracle-parity path
+    (DuckDB computes the identical values).
+    method="xxhash64": the fast path — same fingerprint semantics with
+    Spark's JVM-codegen 64-bit xxhash in place of md5: no 32-char hex
+    string materialized per shingle, one BIGINT per shingle instead.
+    DuckDB has no xxhash64, so this variant is pinned against the repo's
+    pure-python twin (compression/xxhash64.py, bit-identical to
+    F.xxhash64 by hypothesis test) instead of the SQL oracle.  Columns:
+    (doc_id, text_fp:long, min_shingle_fp:long)."""
     norm = F.regexp_replace(F.lower(trimmed(F.col("text"))), r"\s+", " ")
     # Guarded: sequence(1, 0) in Spark is [1, 0] (descending, not empty), so
-    # docs shorter than 5 chars would fingerprint md5(substring(_norm, 0, 5))
+    # docs shorter than 5 chars would fingerprint hash(substring(_norm, 0, 5))
     # — a silent divergence from the DuckDB oracle's empty range(1, 1).
     # Empty array -> array_min NULL, matching list_aggregate(min) of [].
-    shingles = F.expr(
-        "CASE WHEN length(_norm) >= 5 THEN "
-        "transform(sequence(1, length(_norm) - 4), i -> md5(substring(_norm, i, 5))) "
-        "ELSE cast(array() as array<string>) END"
-    )
+    # _norm is a materialized multi-use attr, so CollapseProject keeps it
+    # out of the HOF lambda (Spark HOFs re-evaluate inlined non-lambda
+    # subexpressions PER ELEMENT — see bigram_pmi's round-4 fix).
+    if method == "md5":
+        shingles = F.expr(
+            "CASE WHEN length(_norm) >= 5 THEN "
+            "transform(sequence(1, length(_norm) - 4), i -> md5(substring(_norm, i, 5))) "
+            "ELSE cast(array() as array<string>) END"
+        )
+        cols = [F.md5("_norm").alias("text_md5"),
+                F.array_min(shingles).alias("min_shingle_md5")]
+    elif method == "xxhash64":
+        shingles = F.expr(
+            "CASE WHEN length(_norm) >= 5 THEN "
+            "transform(sequence(1, length(_norm) - 4), i -> xxhash64(substring(_norm, i, 5))) "
+            "ELSE cast(array() as array<bigint>) END"
+        )
+        cols = [F.xxhash64("_norm").alias("text_fp"),
+                F.array_min(shingles).alias("min_shingle_fp")]
+    else:
+        raise ValueError(f"unknown fingerprint method: {method!r}")
     return (
         docs.withColumn("_norm", norm)
-        .select(
-            F.col(id_col).cast("long").alias(id_col),
-            F.md5("_norm").alias("text_md5"),
-            F.array_min(shingles).alias("min_shingle_md5"),
-        )
+        .select(F.col(id_col).cast("long").alias(id_col), *cols)
     )
 
 

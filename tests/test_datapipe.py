@@ -472,3 +472,31 @@ def test_vector_bytes_cap_bounds_bucket_residency():
     assert _vector_bytes_cap(768) < 100_000  # tightens the old default
     assert _vector_bytes_cap(8) * 8 * 8 <= 256 << 20
     assert _vector_bytes_cap(1 << 40) == 64  # floor: never degenerate
+
+
+def test_fingerprints_xxhash64_twin(spark):
+    """fingerprints(method="xxhash64") — the no-hex-strings fast path —
+    must equal a pure-python twin built on the repo's bit-exact xxhash64
+    (compression/xxhash64.py, itself hypothesis-pinned to F.xxhash64);
+    DuckDB has no xxhash64, so this is the variant's oracle."""
+    import re
+
+    from pulse_spark.compression.xxhash64 import xxhash64_signed
+    from pulse_spark.datapipe.textstats import fingerprints
+
+    rows = [(1, "  SELECT spark\tJOIN  merge  "), (2, "abc"), (3, ""),
+            (4, "five5"), (5, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fingerprints(df, method="xxhash64")
+    assert [f.name for f in out.schema.fields] == \
+        ["doc_id", "text_fp", "min_shingle_fp"]
+    got = {r["doc_id"]: (r["text_fp"], r["min_shingle_fp"])
+           for r in out.collect()}
+    for did, text in rows:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        sh = ([xxhash64_signed(norm[i:i + 5])
+               for i in range(len(norm) - 4)] if len(norm) >= 5 else [])
+        assert got[did] == (xxhash64_signed(norm),
+                            min(sh) if sh else None), did
+    with pytest.raises(ValueError, match="method"):
+        fingerprints(df, method="sha9000")

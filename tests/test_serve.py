@@ -307,3 +307,20 @@ def test_server_close_and_context_manager(served_index):
     assert srv._seg_files == []
     with pytest.raises(RuntimeError, match="closed"):
         srv.search("join merge", k=5)
+
+
+def test_cli_parallel_shards(served_index, capsys):
+    """CLI plumbing for the process-per-shard composition: --sidecar
+    --shards N --parallel-shards serves the same TREC lines as the
+    whole-index server."""
+    from pulse_spark.cli import main
+
+    idx, srv = served_index
+    rc = main(["search", "--index", idx.out_dir, "--query", "join merge",
+               "-k", "3", "--sidecar", "--shards", "2", "--parallel-shards"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.strip() and not ln.startswith("#")]
+    got = [(ln.split("\t")[2], int(ln.split("\t")[3])) for ln in lines]
+    exp = [(r.doc_no, r.rank) for r in srv.search("join merge", k=3)]
+    assert got == exp
