@@ -66,11 +66,20 @@ def _host_probe() -> dict:
     for _ in range(40):
         a = a @ a * 1e-3 + 0.1
     probe = round(time.time() - t0, 3)
+    # first-touch allocation bandwidth — a SEPARATE host pathology from
+    # CPU steal: windows were observed (2026-08-17) where an 80 MB
+    # np.arange took 15 s (~5 MB/s fault-in) while loadavg sat at 1 and
+    # the CPU probe was only ~2x off.  Clean windows: >2000 MB/s.
+    t0 = time.time()
+    np.arange(8_000_000)  # 64 MB, written on first touch
+    alloc = time.time() - t0
     try:
         load = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load = None
-    return {"probe_sec": probe, "loadavg": load, "ncpu": os.cpu_count()}
+    return {"probe_sec": probe,
+            "alloc_mb_per_s": round(64 / alloc if alloc > 0 else 0, 1),
+            "loadavg": load, "ncpu": os.cpu_count()}
 
 
 def run_headline() -> dict:
@@ -360,33 +369,59 @@ def run_latency_sidecar(k: int = 10) -> dict:
     # default ~112k turns; PULSE_LATENCY_CONVS=1000000 gives the ~4.5M-turn
     # corpus-size scaling point (same input as --scaling)
     n_convs = int(os.environ.get("PULSE_LATENCY_CONVS", "25000"))
-    tr = synth_transcripts_spark(spark, n_convs)
-    idx_dir = os.path.join(tmp, "idx")
-    build_persisted_index(spark, tr, idx_dir, IndexingSettings(term_buckets=32),
-                          build_segments=True)
+    # PULSE_LATENCY_IDX: reuse a previously-built index (a 9M-doc build
+    # costs minutes; the serving measurement is seconds — rebuilding per
+    # bench variant would triple every campaign)
+    idx_dir = os.environ.get("PULSE_LATENCY_IDX", "")
+    if idx_dir and os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        spark.stop()
+    else:
+        tr = synth_transcripts_spark(spark, n_convs)
+        idx_dir = os.path.join(tmp, "idx")
+        build_persisted_index(spark, tr, idx_dir,
+                              IndexingSettings(term_buckets=32),
+                              build_segments=True)
+        spark.stop()
     with open(os.path.join(idx_dir, "manifest.json")) as f:
         n_docs = json.load(f)["stages"]["docs"]["rows"]
-    spark.stop()
 
     srv = PointServer(idx_dir)
     queries = gen_queries()
     srv.search(queries[0][1], k=k)  # warm file listing
-    lat, per_q = [], {}
+    # cold pass: each query's FIRST touch (terms decoded from parquet);
+    # warm passes: the decoded-block cache holds every term — the
+    # reference's Table 4.3 "avg over repeated runs" regime (its OS page
+    # cache is warm the same way)
+    cold, per_q = [], {}
     for qid, text in queries:
         t0 = time.perf_counter()
         srv.search(text, k=k)
         ms = (time.perf_counter() - t0) * 1000
-        lat.append(ms)
+        cold.append(ms)
         per_q[str(qid)] = round(ms, 2)
-    lat.sort()
+    warm, per_q_warm = [], {}
+    for _ in range(3):
+        for qid, text in queries:
+            t0 = time.perf_counter()
+            srv.search(text, k=k)
+            ms = (time.perf_counter() - t0) * 1000
+            warm.append(ms)
+            per_q_warm[str(qid)] = round(ms, 2)  # last rep wins
+    cold.sort()
+    warm.sort()
     return {
-        "metric": f"sidecar_bm25_top{k}_latency_p50_ms",
-        "value": round(statistics.median(lat), 2),
+        "metric": f"sidecar_bm25_top{k}_latency_warm_p50_ms",
+        "value": round(statistics.median(warm), 2),
         "unit": "ms",
         "k": k,
-        "p90_ms": round(lat[int(0.9 * len(lat))], 2),
+        "warm_p90_ms": round(warm[int(0.9 * len(warm))], 2),
+        "cold_p50_ms": round(statistics.median(cold), 2),
+        "cold_p90_ms": round(cold[int(0.9 * len(cold))], 2),
         "n_docs": n_docs,
-        "queries": per_q,
+        "idx_dir": idx_dir,
+        "host_probe": _host_probe(),
+        "queries_cold": per_q,
+        "queries_warm": per_q_warm,
     }
 
 

@@ -41,7 +41,12 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from pulse_spark.compression.codecs import delta_varint_decode, unary_decode
+from pulse_spark.compression.codecs import (
+    delta_varint_decode,
+    delta_varint_decode_concat,
+    unary_decode,
+    unary_decode_concat,
+)
 from pulse_spark.config import BM25_B, BM25_K1, IndexingSettings
 from pulse_spark.text.normalize import tokens as py_tokens
 
@@ -53,6 +58,39 @@ class ServeResult:
     doc_id: int
     doc_no: str | None
     score: float
+
+
+def enable_malloc_arena(mb: int = 512) -> bool:
+    """Serving-process allocator tuning (opt-in, process-wide): raise
+    glibc's M_MMAP_THRESHOLD and M_TRIM_THRESHOLD to `mb` MB, then
+    pre-fault that much arena once.  Returns False if glibc/mallopt is
+    unavailable (non-Linux).
+
+    Why it exists: the batched cold-path decoders allocate 40-80 MB
+    numpy temporaries per wide query.  glibc's DYNAMIC mmap threshold
+    caps at 32 MB, so buffers that size are always mmap'd and munmap'd —
+    every cold query re-pays first-touch page faults for its whole
+    temporary footprint.  On hosts with fast fault-in (~GB/s) that is
+    noise; on hosts with lazy VM memory backing this sandbox measured
+    5-10 MB/s fault-in windows, turning a ~0.3 s decode into tens of
+    seconds.  With the thresholds raised, temporaries come from the brk
+    arena, freed pages stay resident, and steady-state decode reuses
+    already-faulted memory (measured 4-5x on the decode A/B even in a
+    clean window, 30x+ in degraded ones — BENCH.md §4g)."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        m_mmap_threshold, m_trim_threshold = -3, -1
+        ok = (libc.mallopt(m_mmap_threshold, mb << 20) == 1
+              and libc.mallopt(m_trim_threshold, mb << 20) == 1)
+    except Exception:
+        return False
+    if not ok:
+        return False
+    x = np.ones((mb << 20) // 8, dtype=np.float64)  # fault the arena once
+    del x
+    return True
 
 
 def load_doc_no_array(out_dir: str, id_space: int) -> np.ndarray:
@@ -81,13 +119,20 @@ class PointServer:
     def __init__(self, out_dir: str, load_doc_nos: bool = True,
                  cache_terms: int = 4096,
                  doc_ranges: "set[int] | None" = None,
-                 doc_nos: "np.ndarray | None" = None):
+                 doc_nos: "np.ndarray | None" = None,
+                 malloc_arena_mb: "int | None" = None):
         """doc_ranges: serve only these doc_range partitions of the index
         (a SHARD — see ShardedServer); None = the whole index.
         doc_nos: pre-loaded doc_id -> doc_no array to share across shard
         servers in one process (each shard would otherwise load its own
-        full copy)."""
+        full copy).
+        malloc_arena_mb: opt-in allocator tuning for long-lived serving
+        processes — see enable_malloc_arena (process-wide effect, hence
+        not a default)."""
         import json
+
+        if malloc_arena_mb:
+            enable_malloc_arena(malloc_arena_mb)
 
         import pyarrow.parquet as pq
 
@@ -278,38 +323,25 @@ class PointServer:
                 missing = [t for t in qterms if t not in self._block_cache]
         if missing:
             tbl = self._read_terms(missing)
-            raw: dict[str, list] = {t: [] for t in missing}
             # columnar extraction (one to_pylist per column) — ~7x fewer
             # Python<->C crossings than per-cell .as_py() on cold wide
             # queries, which is exactly the cold-term latency path
             cols = {c: tbl[c].to_pylist() for c in self._seg_cols}
-            for term, ib, tb, lb, lo, hi, mt, mp in zip(
-                cols["term"], cols["doc_ids_bin"], cols["tfs_bin"],
-                cols["doc_lens_bin"], cols["min_doc_id"],
-                cols["max_doc_id"], cols["max_tf"], cols["max_part"],
-            ):
-                ids, tfs, lens = self._decode(ib, tb, lb)
-                raw[term].append((
-                    ids.astype(np.int64) - self._base, tfs, lens,
-                    int(lo), int(hi), int(mt), float(mp)
-                ))
+            rows: dict[str, list[int]] = {t: [] for t in missing}
+            for i, term in enumerate(cols["term"]):
+                rows[term].append(i)
+            # ONE batched decode per term over the concatenation of its
+            # blocks' payloads (codecs.*_decode_concat) — a 9M-doc hot
+            # term spans ~25k blocks, and the old per-block loop paid
+            # ~40 s of pure python/numpy call overhead on the cold fill
+            # of a stopword query (measured; BENCH.md §4g).  Block
+            # boundaries ("off") come from the rows' `n` column; the
+            # decoders verify the stream against it.
             new: dict[str, dict] = {}
+            compress = self.settings.compression
             for t in missing:
-                blks = raw[t]
-                if blks:
-                    new[t] = {
-                        "idx": np.concatenate([b[0] for b in blks]),
-                        "tf": np.concatenate([b[1] for b in blks]).astype(
-                            np.float64),
-                        "lens": np.concatenate([b[2] for b in blks]),
-                        "off": np.cumsum([0] + [len(b[0]) for b in blks]),
-                        "blo": np.array([b[3] for b in blks], np.int64),
-                        "bhi": np.array([b[4] for b in blks], np.int64),
-                        "bmt": np.array([b[5] for b in blks], np.int64),
-                        "bmp": np.array([b[6] for b in blks], np.float64),
-                        "pb": None, "pt": None,
-                    }
-                else:
+                idxs = rows[t]
+                if not idxs:
                     z = np.zeros(0)
                     new[t] = {
                         "idx": z.astype(np.int64), "tf": z, "lens": z,
@@ -318,6 +350,41 @@ class PointServer:
                         "bmt": z.astype(np.int64), "bmp": z,
                         "pb": None, "pt": None,
                     }
+                    continue
+                counts = np.array([cols["n"][i] for i in idxs],
+                                  dtype=np.int64)
+                ids_buf = b"".join(cols["doc_ids_bin"][i] for i in idxs)
+                tf_bufs = [cols["tfs_bin"][i] for i in idxs]
+                len_buf = b"".join(cols["doc_lens_bin"][i] for i in idxs)
+                if compress:
+                    ids = delta_varint_decode_concat(ids_buf, counts)
+                    tfs = unary_decode_concat(
+                        b"".join(tf_bufs), [len(x) for x in tf_bufs],
+                        counts, minimum=1,
+                    )
+                else:
+                    ids = np.frombuffer(ids_buf, dtype="<u4").astype(
+                        np.uint64)
+                    tfs = np.frombuffer(b"".join(tf_bufs),
+                                        dtype="<u4").astype(np.uint64)
+                lens = np.frombuffer(len_buf, dtype="<u4").astype(np.uint64)
+                off = np.zeros(len(idxs) + 1, dtype=np.int64)
+                np.cumsum(counts, out=off[1:])
+                new[t] = {
+                    "idx": ids.astype(np.int64) - self._base,
+                    "tf": tfs.astype(np.float64),
+                    "lens": lens,
+                    "off": off,
+                    "blo": np.array([cols["min_doc_id"][i] for i in idxs],
+                                    np.int64),
+                    "bhi": np.array([cols["max_doc_id"][i] for i in idxs],
+                                    np.int64),
+                    "bmt": np.array([cols["max_tf"][i] for i in idxs],
+                                    np.int64),
+                    "bmp": np.array([cols["max_part"][i] for i in idxs],
+                                    np.float64),
+                    "pb": None, "pt": None,
+                }
         out = {}
         retry = []
         with self._cache_lock:
@@ -608,7 +675,8 @@ class PointServer:
                     hits[touched] = 0
 
 
-def _shard_worker(conn, out_dir: str, cache_terms: int, doc_ranges: list):
+def _shard_worker(conn, out_dir: str, cache_terms: int, doc_ranges: list,
+                  malloc_arena_mb: "int | None" = None):
     """Worker-process loop for ShardedServer(parallel=True): owns ONE
     shard PointServer (its own segment handles, block cache and
     span-sized accumulators — exactly what a shard HOST owns in a real
@@ -618,7 +686,8 @@ def _shard_worker(conn, out_dir: str, cache_terms: int, doc_ranges: list):
     try:
         srv = PointServer(out_dir, load_doc_nos=False,
                           cache_terms=cache_terms,
-                          doc_ranges=set(doc_ranges))
+                          doc_ranges=set(doc_ranges),
+                          malloc_arena_mb=malloc_arena_mb)
     except BaseException as e:  # noqa: BLE001 — relay init failure
         try:
             conn.send(("init_err", repr(e)))
@@ -678,7 +747,8 @@ class ShardedServer:
     """
 
     def __init__(self, out_dir: str, n_shards: int = 2,
-                 cache_terms: int = 4096, parallel: bool = False):
+                 cache_terms: int = 4096, parallel: bool = False,
+                 malloc_arena_mb: "int | None" = None):
         import json
 
         with open(os.path.join(out_dir, "manifest.json")) as f:
@@ -715,7 +785,8 @@ class ShardedServer:
                 p = ctx.Process(
                     target=_shard_worker,
                     args=(child, out_dir, cache_terms,
-                          sorted(range(bounds[i], bounds[i + 1]))),
+                          sorted(range(bounds[i], bounds[i + 1])),
+                          malloc_arena_mb),
                     daemon=True,
                 )
                 p.start()
@@ -728,6 +799,8 @@ class ShardedServer:
                     self.close()
                     raise RuntimeError(f"shard {i} failed to start: {payload}")
         else:
+            if malloc_arena_mb:
+                enable_malloc_arena(malloc_arena_mb)
             self.shards = [
                 PointServer(
                     out_dir,
