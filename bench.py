@@ -70,8 +70,17 @@ def _host_probe() -> dict:
     # CPU steal: windows were observed (2026-08-17) where an 80 MB
     # np.arange took 15 s (~5 MB/s fault-in) while loadavg sat at 1 and
     # the CPU probe was only ~2x off.  Clean windows: >2000 MB/s.
+    # Measured via anonymous mmap so the number is the OS fault rate
+    # even when the process has a malloc arena (serve.enable_malloc_
+    # arena) — a malloc-based probe reads arena-reuse bandwidth and
+    # happily reports GB/s in a 10 MB/s window.
+    import mmap as _mmap
     t0 = time.time()
-    np.arange(8_000_000)  # 64 MB, written on first touch
+    m = _mmap.mmap(-1, 64 << 20)
+    step = _mmap.PAGESIZE
+    for off in range(0, 64 << 20, step):  # touch each page, no big temps
+        m[off] = 1
+    m.close()
     alloc = time.time() - t0
     try:
         load = [round(x, 2) for x in os.getloadavg()]
@@ -385,7 +394,12 @@ def run_latency_sidecar(k: int = 10) -> dict:
     with open(os.path.join(idx_dir, "manifest.json")) as f:
         n_docs = json.load(f)["stages"]["docs"]["rows"]
 
-    srv = PointServer(idx_dir)
+    # PULSE_ARENA_MB: allocator tuning for the serving process (the
+    # documented long-lived-serving config — serve.enable_malloc_arena;
+    # 0 disables).  Recorded in the JSON so the artifact says which
+    # config it measured.
+    arena_mb = int(os.environ.get("PULSE_ARENA_MB", "512"))
+    srv = PointServer(idx_dir, malloc_arena_mb=arena_mb or None)
     queries = gen_queries()
     srv.search(queries[0][1], k=k)  # warm file listing
     # cold pass: each query's FIRST touch (terms decoded from parquet);
@@ -419,6 +433,7 @@ def run_latency_sidecar(k: int = 10) -> dict:
         "cold_p90_ms": round(cold[int(0.9 * len(cold))], 2),
         "n_docs": n_docs,
         "idx_dir": idx_dir,
+        "arena_mb": arena_mb,
         "host_probe": _host_probe(),
         "queries_cold": per_q,
         "queries_warm": per_q_warm,
@@ -449,14 +464,18 @@ def run_latency_sharded(k: int = 10, n_shards: int = 4) -> dict:
                       master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
     tmp = tempfile.mkdtemp(prefix="bench_latency_sharded_")
     n_convs = int(os.environ.get("PULSE_LATENCY_CONVS", "25000"))
-    tr = synth_transcripts_spark(spark, n_convs)
-    idx_dir = os.path.join(tmp, "idx")
-    build_persisted_index(spark, tr, idx_dir,
-                          IndexingSettings(term_buckets=32),
-                          build_segments=True)
+    idx_dir = os.environ.get("PULSE_LATENCY_IDX", "")
+    if idx_dir and os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        spark.stop()
+    else:
+        tr = synth_transcripts_spark(spark, n_convs)
+        idx_dir = os.path.join(tmp, "idx")
+        build_persisted_index(spark, tr, idx_dir,
+                              IndexingSettings(term_buckets=32),
+                              build_segments=True)
+        spark.stop()
     with open(os.path.join(idx_dir, "manifest.json")) as f:
         n_docs = json.load(f)["stages"]["docs"]["rows"]
-    spark.stop()
 
     queries = gen_queries()
 
@@ -472,14 +491,18 @@ def run_latency_sharded(k: int = 10, n_shards: int = 4) -> dict:
         return {"p50_ms": round(statistics.median(lat), 2),
                 "p90_ms": round(lat[int(0.9 * len(lat))], 2)}
 
+    arena_mb = int(os.environ.get("PULSE_ARENA_MB", "512")) or None
     out: dict = {"metric": f"sharded_bm25_top{k}_latency_p50_ms",
                  "unit": "ms", "k": k, "n_docs": n_docs,
-                 "n_shards": n_shards}
-    with PointServer(idx_dir) as ps:
+                 "n_shards": n_shards, "arena_mb": arena_mb or 0,
+                 "host_probe": _host_probe()}
+    with PointServer(idx_dir, malloc_arena_mb=arena_mb) as ps:
         out["point"] = measure(ps)
-    with ShardedServer(idx_dir, n_shards=n_shards) as seq:
+    with ShardedServer(idx_dir, n_shards=n_shards,
+                       malloc_arena_mb=arena_mb) as seq:
         out["sharded_sequential"] = measure(seq)
-    with ShardedServer(idx_dir, n_shards=n_shards, parallel=True) as par:
+    with ShardedServer(idx_dir, n_shards=n_shards, parallel=True,
+                       malloc_arena_mb=arena_mb) as par:
         out["sharded_parallel"] = measure(par)
     out["value"] = out["sharded_parallel"]["p50_ms"]
     return out

@@ -82,14 +82,28 @@ def enable_malloc_arena(mb: int = 512) -> bool:
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         m_mmap_threshold, m_trim_threshold = -3, -1
+        # trim threshold strictly ABOVE the arena size: a top chunk of
+        # exactly `mb` MB (the freed pre-fault below) would otherwise be
+        # malloc_trim'd back to the OS on free, undoing the pre-fault
+        # (measured: q25 cold stayed at fault speed with trim == mb).
         ok = (libc.mallopt(m_mmap_threshold, mb << 20) == 1
-              and libc.mallopt(m_trim_threshold, mb << 20) == 1)
+              and libc.mallopt(m_trim_threshold, (mb * 4) << 20) == 1)
     except Exception:
         return False
     if not ok:
         return False
-    x = np.ones((mb << 20) // 8, dtype=np.float64)  # fault the arena once
-    del x
+    # Grow + fault the brk arena with chunks UNDER the threshold, held
+    # simultaneously (ONE allocation of exactly `mb` MB would itself be
+    # mmap'd — size >= threshold — and munmap'd on free, faulting
+    # nothing that survives; measured: that variant left first-touch
+    # cost fully in place).  Freed afterwards, the pages stay resident
+    # below the trim threshold and every later numpy temporary under
+    # `mb/8` MB reuses them at memory speed.
+    chunk = max(1, mb // 8)
+    hold = [np.empty((chunk << 20), dtype=np.uint8) for _ in range(8)]
+    for x in hold:
+        x.fill(1)
+    del hold
     return True
 
 
