@@ -249,7 +249,10 @@ def run_scaling() -> dict:
         os.environ["PULSE_SPARK_LOCAL_DIR"] = shuffle_dir  # shuffle on tmpfs too
     try:
         src = _gen_scaling_input(tmp)
-        levels = (2, 8, 32)
+        # PULSE_SCALING_LEVELS="8,32" for a single N/4N pair (the 18M-turn
+        # re-measure would spend ~20 min on the 2-core level alone)
+        levels = tuple(int(x) for x in os.environ.get(
+            "PULSE_SCALING_LEVELS", "2,8,32").split(","))
         trials: dict[int, list] = {c: [] for c in levels}
         # trials are INTERLEAVED across levels (2,8,32,2,8,32,...) so the
         # sandbox's intermittent host-level stalls hit every level with
@@ -294,15 +297,20 @@ def run_scaling() -> dict:
         # VM's shared memory subsystem (run `bench.py --host-ceiling` for
         # the Spark-free control: a pure-python tokenizer pool tops out at
         # ~0.64 of 4x going 8->32 procs on this host — no Spark involved).
-        return {
+        out = {
             "metric": "build_scaling_efficiency",
-            "value": eff(8, 32),
+            "value": eff(8, 32) if {8, 32} <= set(levels) else None,
             "unit": "ratio",
-            "eff_2_to_8": eff(2, 8),
-            "eff_8_to_32": eff(8, 32),
             "cpu_confined": _has_taskset(),
+            "n_convs": SCALING_CONVS,
+            "host_probe": _host_probe(),
             "levels": {str(c): res[c] for c in levels},
         }
+        if {2, 8} <= set(levels):
+            out["eff_2_to_8"] = eff(2, 8)
+        if {8, 32} <= set(levels):
+            out["eff_8_to_32"] = eff(8, 32)
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

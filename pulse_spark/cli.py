@@ -96,8 +96,11 @@ def cmd_search(args) -> int:
         from pulse_spark.serve import PointServer, ShardedServer
 
         srv = (ShardedServer(args.index, n_shards=args.shards,
-                             parallel=args.parallel_shards)
-               if args.shards > 1 else PointServer(args.index))
+                             parallel=args.parallel_shards,
+                             malloc_arena_mb=args.arena_mb or None)
+               if args.shards > 1
+               else PointServer(args.index,
+                                malloc_arena_mb=args.arena_mb or None))
 
         def run_one(qid: int, text: str) -> None:
             t0 = time.perf_counter()
@@ -363,6 +366,11 @@ def main(argv=None) -> int:
     s.add_argument("--parallel-shards", action="store_true",
                    help="with --shards N: one worker process per shard, "
                         "fanned out per query (max-over-shards latency)")
+    s.add_argument("--arena-mb", type=int, default=0,
+                   help="with --sidecar: pre-faulted malloc arena for the "
+                        "serving process (serve.enable_malloc_arena) — "
+                        "recommended for long-lived servers on hosts with "
+                        "lazy memory backing")
     s.set_defaults(fn=cmd_search)
 
     c = sub.add_parser("compact", help="compact streaming deltas into a "

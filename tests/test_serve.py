@@ -317,7 +317,8 @@ def test_cli_parallel_shards(served_index, capsys):
 
     idx, srv = served_index
     rc = main(["search", "--index", idx.out_dir, "--query", "join merge",
-               "-k", "3", "--sidecar", "--shards", "2", "--parallel-shards"])
+               "-k", "3", "--sidecar", "--shards", "2", "--parallel-shards",
+               "--arena-mb", "16"])
     assert rc == 0
     lines = [ln for ln in capsys.readouterr().out.splitlines()
              if ln.strip() and not ln.startswith("#")]
