@@ -201,6 +201,30 @@ def q_events_sessions(spark, sf_dir):
     return events.sessionize(_events(spark, sf_dir))
 
 
+
+def q_bm25_conv_weighted_topk(spark, sf_dir):
+    """Conversation-level BM25F-style retrieval over the deterministic
+    transcript wrapping: user turns (turn parity) weigh 2x assistant
+    turns in both tf and the length normalizer (transcripts.py)."""
+    from pulse_spark.datapipe import transcripts as tr
+    from pulse_spark.harness import SETTINGS, _q_occurrences
+
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess),
+        "query_id long, pos int, term string",
+    )
+    res = tr.conv_weighted_topk(
+        tr.docs_as_transcripts(_docs(spark, sf_dir)), occ,
+        k=10, settings=SETTINGS, tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("conv_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 DATAPIPE_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -223,6 +247,7 @@ DATAPIPE_QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "conv_stats": q_conv_stats,
+    "bm25_conv_weighted_topk": q_bm25_conv_weighted_topk,
     "conv_text": q_conv_text,
     "response_pairs": q_response_pairs,
     "keyword_extract": q_keyword_extract,
@@ -635,3 +660,46 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
              ELSE 0.0 END, 6) AS dup_ratio
 FROM shl
 """
+
+
+# BM25F-lite over the conv wrapping: tf and length scale by the turn's
+# role weight (parity rule), df/IDF presence-based — mirrors
+# transcripts.conv_weighted_topk exactly (same K, tie_round, tokenizer).
+def _conv_weighted_sql() -> str:
+    from pulse_spark.harness import _D_CTE, _queries_values_sql
+
+    return f"""
+WITH {_D_CTE},
+t AS (
+  SELECT doc_id % 100 AS conv_id,
+         CASE WHEN (doc_id // 100) % 2 = 0 THEN 2.0 ELSE 1.0 END AS w,
+         doc_len, toks
+  FROM d
+),
+wlen AS (SELECT conv_id, sum(doc_len * w) AS wlen FROM t GROUP BY 1),
+tok AS (SELECT conv_id, w, unnest(toks) AS term FROM t),
+wtf AS (SELECT conv_id, term, sum(w) AS wtf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wtf GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_convs, avg(wlen) AS adl FROM wlen),
+{_queries_values_sql()},
+scored AS (
+  SELECT q.query_id, wtf.conv_id,
+         sum(wtf.wtf / (1.3*((1-0.5) + 0.5*(wlen.wlen/s.adl)) + wtf.wtf)
+             * ln(s.n_convs / df.df)) AS raw_score
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN wtf ON wtf.term = q.term
+  JOIN wlen ON wlen.conv_id = wtf.conv_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(row_number() OVER w2 - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w2 AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, conv_id ASC)
+QUALIFY row_number() OVER w2 <= 10
+"""
+
+
+DATAPIPE_ORACLES["bm25_conv_weighted_topk"] = _conv_weighted_sql()

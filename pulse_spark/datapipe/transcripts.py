@@ -143,3 +143,83 @@ def turn_windows(transcripts: DataFrame, window: int = 3,
         F.lit(window).cast("long").alias("n_turns"),
         F.col("w.text").alias("text"),
     )
+
+
+def conv_weighted_topk(
+    transcripts: DataFrame,
+    q_occurrences: DataFrame,
+    *,
+    k: int = 10,
+    metric: str = "BM25",
+    settings=None,
+    role_weights: "dict[str, float] | None" = None,
+    tie_round: "int | None" = None,
+) -> DataFrame:
+    """Conversation-level field-weighted retrieval (BM25F-style): each
+    turn is a weighted FIELD of its conversation — a term occurrence in
+    a `user` turn counts `role_weights['user']`× toward the
+    conversation's tf, and the length normalizer is the same weighted
+    sum of turn byte-lengths, so up-weighting a role boosts matches in
+    it without breaking tf saturation.  df/IDF stay presence-based
+    (unweighted), the standard BM25F choice.
+
+    transcripts: (conv_id, turn_idx, text[, role]); when `role` is
+    absent the deterministic parity rule `turn_idx % 2 == 0 -> user`
+    (the docs_as_transcripts wrapping) is applied.
+    q_occurrences: (query_id, pos, term) — one row per query-token
+    occurrence, tokenized with the SAME settings.
+
+    Returns (query_id, rank, conv_id, score), rank 0-based.
+
+    Scale shape: tokenize once (Arrow UDF), ONE (conv_id, term) shuffle
+    for weighted tf, one bounded conv_id agg for weighted length, tiny
+    broadcast query side, and topk_from_tables' two-phase bounded top-k
+    — the same plan skeleton as the flat index build, nothing new to
+    salt (term skew lives in the (conv, term) groupBy whose key space is
+    corpus-sized).
+    """
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.query.search import topk_from_tables
+    from pulse_spark.text.udfs import make_tokenizer_udf
+
+    settings = settings or IndexingSettings()
+    role_weights = role_weights or {"user": 2.0, "assistant": 1.0}
+
+    role = (
+        F.col("role")
+        if "role" in transcripts.columns
+        else F.when(F.col("turn_idx") % 2 == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        )
+    )
+    w = F.lit(1.0)
+    for name, wt in role_weights.items():
+        w = F.when(role == name, F.lit(float(wt))).otherwise(w)
+    turns = transcripts.select(
+        F.col("conv_id").cast("long").alias("conv_id"),
+        w.alias("w"),
+        doc_len_bytes("text").cast("double").alias("_len"),
+        "text",
+    )
+    # weighted conversation length includes token-less turns, so it is
+    # aggregated from the un-exploded turns table
+    wlen = turns.groupBy("conv_id").agg(
+        F.sum(F.col("_len") * F.col("w")).alias("doc_len")
+    ).persist()  # reused by the postings join AND the stats action
+
+    tok = make_tokenizer_udf(settings.preprocess)
+    wtf = (
+        turns.select("conv_id", "w", F.explode(tok(F.col("text"))).alias("term"))
+        .groupBy("conv_id", "term")
+        .agg(F.sum("w").alias("tf"))
+    )
+    postings = wtf.join(wlen, "conv_id")
+    terms = wtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    srow = wlen.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("adl")
+    ).collect()[0]
+    return topk_from_tables(
+        postings, terms, q_occurrences,
+        int(srow["n"]), float(srow["adl"]),
+        k=k, metric=metric, id_col="conv_id", tie_round=tie_round,
+    )

@@ -500,3 +500,57 @@ def test_fingerprints_xxhash64_twin(spark):
                             min(sh) if sh else None), did
     with pytest.raises(ValueError, match="method"):
         fingerprints(df, method="sha9000")
+
+
+def test_conv_weighted_topk_role_weighting(spark):
+    """BM25F-lite semantics: a term in an up-weighted role contributes
+    more tf AND more length than the same term in a down-weighted role;
+    df stays presence-based.  Two mirror conversations (same text,
+    roles swapped) must rank by where the matching turn sits."""
+    from pulse_spark.config import IndexingSettings
+    from pulse_spark.datapipe.transcripts import conv_weighted_topk
+
+    ns = IndexingSettings(stemming=False)  # raw "merge" in occ below
+    tr = spark.createDataFrame(
+        [
+            # conv 1: the query term lives in the USER turn
+            (1, 0, "user", "merge merge strategies"),
+            (1, 1, "assistant", "join ordering details"),
+            # conv 2: mirror — same texts, roles swapped by parity
+            (2, 0, "user", "join ordering details"),
+            (2, 1, "assistant", "merge merge strategies"),
+            # conv 3: no query term, so idf = ln(3/2) > 0
+            (3, 0, "user", "filter pushdown notes"),
+        ],
+        "conv_id long, turn_idx long, role string, text string",
+    )
+    occ = spark.createDataFrame(
+        [(1, 0, "merge")], "query_id long, pos int, term string"
+    )
+    res = conv_weighted_topk(
+        tr, occ, k=10, settings=ns,
+        role_weights={"user": 2.0, "assistant": 1.0},
+    ).collect()
+    assert [r.conv_id for r in sorted(res, key=lambda r: r.rank)] == [1, 2]
+    s = {r.conv_id: r.score for r in res}
+    assert s[1] > s[2]
+
+    # equal weights: the mirror conversations tie exactly (same wtf and
+    # weighted length) and the tie breaks on conv_id
+    eq = conv_weighted_topk(
+        tr, occ, k=10, settings=ns,
+        role_weights={"user": 1.0, "assistant": 1.0},
+    ).collect()
+    se = {r.conv_id: r.score for r in eq}
+    assert abs(se[1] - se[2]) < 1e-12
+    assert [r.conv_id for r in sorted(eq, key=lambda r: r.rank)] == [1, 2]
+
+    # derived-role path (no role column): parity rule user/assistant
+    # must reproduce the explicit-role result
+    derived = conv_weighted_topk(
+        tr.drop("role"), occ, k=10, settings=ns,
+        role_weights={"user": 2.0, "assistant": 1.0},
+    ).collect()
+    assert {(r.conv_id, round(r.score, 9)) for r in derived} == {
+        (r.conv_id, round(r.score, 9)) for r in res
+    }
