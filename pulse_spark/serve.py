@@ -60,6 +60,31 @@ class ServeResult:
     score: float
 
 
+def disable_numpy_hugepages() -> bool:
+    """Turn off numpy's MADV_HUGEPAGE on large allocations (runtime
+    equivalent of NUMPY_MADVISE_HUGEPAGE=0).  Returns False if the
+    private numpy hook is unavailable.
+
+    Why it exists: with kernel THP `defrag=madvise` (this sandbox's
+    setting, and a common distro default), every 2 MB fault on a
+    hugepage-madvised region may run SYNCHRONOUS memory compaction —
+    measured here at ~2 ms per fault under host fragmentation, which
+    turned a 9 M-doc server's init into 119 s and one hot-term cold
+    fill into 53 s.  Same code with the madvise off: init 14.8 s, the
+    fill 2.4 s (22×) — the pages fault as plain 4 K at microseconds
+    each.  The TLB win hugepages buy a long-running scorer is real but
+    small next to a 1000× fault-cost regression, so serving processes
+    opt out (called from enable_malloc_arena, i.e. any
+    malloc_arena_mb=... server)."""
+    try:
+        import numpy.core.multiarray as _ma
+
+        _ma._set_madvise_hugepage(False)
+        return True
+    except Exception:
+        return False
+
+
 def enable_malloc_arena(mb: int = 512) -> bool:
     """Serving-process allocator tuning (opt-in, process-wide): raise
     glibc's M_MMAP_THRESHOLD and M_TRIM_THRESHOLD to `mb` MB, then
@@ -77,6 +102,11 @@ def enable_malloc_arena(mb: int = 512) -> bool:
     arena, freed pages stay resident, and steady-state decode reuses
     already-faulted memory (measured 4-5x on the decode A/B even in a
     clean window, 30x+ in degraded ones — BENCH.md §4g)."""
+    # Same motivation, different allocator layer: numpy's own
+    # MADV_HUGEPAGE turns each 2 MB first-touch into synchronous THP
+    # compaction under defrag=madvise (measured 22x on a hot-term cold
+    # fill) — every tuned serving process wants it off.
+    disable_numpy_hugepages()
     try:
         import ctypes
 

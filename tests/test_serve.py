@@ -309,6 +309,31 @@ def test_server_close_and_context_manager(served_index):
         srv.search("join merge", k=5)
 
 
+def test_arena_tuning_disables_numpy_hugepages(served_index):
+    """enable_malloc_arena (the serving-process tuning entry point) must
+    also turn off numpy's MADV_HUGEPAGE: under kernel defrag=madvise a
+    2 MB hugepage fault runs synchronous compaction (~2 ms each here —
+    22x on a hot-term cold fill).  Pin the private-hook path so a numpy
+    upgrade that drops it is caught rather than silently regressing the
+    serving cold path."""
+    from pulse_spark import serve
+
+    assert serve.disable_numpy_hugepages() is True
+    calls = []
+    orig = serve.disable_numpy_hugepages
+    serve.disable_numpy_hugepages = lambda: calls.append(1) or True
+    try:
+        assert serve.enable_malloc_arena(16) is True
+    finally:
+        serve.disable_numpy_hugepages = orig
+    assert calls, "enable_malloc_arena must opt out of numpy hugepages"
+    # and a tuned server still serves correctly
+    idx, srv = served_index
+    with PointServer(idx.out_dir, malloc_arena_mb=16) as tuned:
+        assert ([(r.doc_no, r.rank) for r in tuned.search("join merge", k=5)]
+                == [(r.doc_no, r.rank) for r in srv.search("join merge", k=5)])
+
+
 def test_cli_parallel_shards(served_index, capsys):
     """CLI plumbing for the process-per-shard composition: --sidecar
     --shards N --parallel-shards serves the same TREC lines as the
