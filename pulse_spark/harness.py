@@ -133,7 +133,8 @@ def _stats(spark, sf_dir) -> tuple[int, float]:
     return _SHARED[key]
 
 
-def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS) -> DataFrame:
+def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS,
+          doc_filter=None) -> DataFrame:
     p = _postings(spark, sf_dir, settings)
     t = _terms(spark, sf_dir, settings)
     n, adl = _stats(spark, sf_dir)
@@ -142,7 +143,7 @@ def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS) -> DataFrame:
     )
     res = topk_from_tables(
         p, t, occ, n, adl, k=K, metric=metric, conjunctive=conjunctive,
-        id_col="doc_id", tie_round=6,
+        id_col="doc_id", tie_round=6, doc_filter=doc_filter,
     )
     return res.select(
         F.col("query_id").cast("long"),
@@ -213,7 +214,10 @@ def _queries_values_sql() -> str:
     return f"q(query_id, pos, term) AS (VALUES {rows})"
 
 
-def _topk_sql(metric: str, conjunctive: bool) -> str:
+def _topk_sql(metric: str, conjunctive: bool, filter_sql: str = "") -> str:
+    """filter_sql: optional `AND tf.doc_id IN (...)` candidate filter —
+    global df/adl statistics intentionally stay corpus-wide (the engine's
+    filtered-retrieval semantics, query/search.py doc_filter)."""
     if metric == "BM25":
         part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
     else:  # TFIDF
@@ -236,6 +240,7 @@ scored AS (
   JOIN tf ON tf.term = q.term
   JOIN nt ON nt.query_id = q.query_id
   CROSS JOIN stats s
+  WHERE 1=1 {filter_sql}
   GROUP BY 1, 2
   {having}
 )
@@ -472,6 +477,80 @@ def q_bm25_sharded_topk(spark, sf_dir):
     )
 
 
+# metadata-filtered search: restrict candidates to English docs (~44% of
+# the corpus) — statistics stay global (query/search.py doc_filter)
+FILTER_LANG = "en"
+
+
+def q_bm25_filtered_topk(spark, sf_dir):
+    """Filtered retrieval (Spark-first extension; Lucene filter-query
+    model): BM25 top-k over only the docs matching a metadata predicate,
+    df/adl/N untouched.  The filter is semi-joined on the term-pruned
+    matched rows, so at 100 TB it never touches unmatched postings."""
+    filt = load_documents(spark, sf_dir).where(
+        F.col("lang") == FILTER_LANG
+    ).select("doc_id")
+    return _topk(spark, sf_dir, "BM25", conjunctive=False, doc_filter=filt)
+
+
+# RM3 pseudo-relevance feedback constants (mirrored in the oracle SQL)
+RM3_FB_K, RM3_FB_TERMS, RM3_ALPHA = 3, 5, 0.6
+
+
+def q_bm25_rm3_topk(spark, sf_dir):
+    """RM3-style pseudo-relevance feedback (query/expand.py): original
+    top-3 docs feed a relevance model; 5 expansion terms interpolated at
+    alpha=0.6 re-retrieve.  Whole two-pass pipeline under the oracle."""
+    from pulse_spark.query.expand import rm3_topk
+
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    docs_text = load_documents(spark, sf_dir).select("doc_id", "text")
+    res = rm3_topk(
+        p, t, occ, docs_text, n, adl, SETTINGS.preprocess,
+        k=K, fb_k=RM3_FB_K, fb_terms=RM3_FB_TERMS, alpha=RM3_ALPHA,
+        id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# more-like-this source docs (exist at every sf; doc_ids are 0-based)
+MLT_SOURCES = [7, 42, 123]
+MLT_TOP_TERMS = 5
+
+
+def q_more_like_this(spark, sf_dir):
+    """Query-by-document (Lucene MLT model, query/expand.py): each
+    source doc's top-5 tf·idf terms form the query; the source doc is
+    excluded from its own results."""
+    from pulse_spark.query.expand import more_like_this_topk
+
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    docs_text = load_documents(spark, sf_dir).select("doc_id", "text")
+    src = spark.createDataFrame([(i,) for i in MLT_SOURCES], "doc_id long")
+    res = more_like_this_topk(
+        p, t, docs_text, src, n, adl, SETTINGS.preprocess,
+        k=K, top_terms=MLT_TOP_TERMS, id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary
 
 
@@ -501,6 +580,9 @@ FULLTEXT_QUERIES = {
     "bm25_sharded_topk": q_bm25_sharded_topk,
     "retrieval_quality": q_retrieval_quality,
     "phrase_match": q_phrase_match,
+    "bm25_filtered_topk": q_bm25_filtered_topk,
+    "bm25_rm3_topk": q_bm25_rm3_topk,
+    "more_like_this": q_more_like_this,
 }
 
 
@@ -571,6 +653,100 @@ LEFT JOIN perq p ON p.query_id = t.query_id
 """
 
 
+def _rm3_oracle_sql() -> str:
+    """Two-pass RM3 in SQL, mirroring query/expand.py's determinism
+    contract: feedback docs by (round(score,6) desc, doc_id asc);
+    expansion terms by (round(weight,6) desc, term asc) with the ROUNDED
+    weight also being the weight used; originals carry alpha/n_occ
+    (n_occ over ALL tokenized occurrences, corpus-absent included)."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+nocc AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS n_occ FROM q GROUP BY 1),
+scored1 AS (
+  SELECT q.query_id, tf.doc_id, sum({part} * ln(s.n_docs / df.df)) AS raw
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(raw, 6) DESC, doc_id ASC) AS r
+    FROM scored1) WHERE r <= {RM3_FB_K}
+),
+dlen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS n_toks FROM d),
+fbw AS (
+  SELECT f.query_id, tf.term, round(sum(tf.tf / dl.n_toks), 6) AS w
+  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+  JOIN dlen dl ON dl.doc_id = f.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM q
+                    WHERE q.query_id = f.query_id AND q.term = tf.term)
+  GROUP BY 1, 2
+),
+exp AS (
+  SELECT query_id, term, w FROM (
+    SELECT query_id, term, w, row_number() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term ASC) AS r
+    FROM fbw) WHERE r <= {RM3_FB_TERMS}
+),
+wq AS (
+  SELECT q.query_id, q.term, {RM3_ALPHA} / n.n_occ AS weight
+  FROM q JOIN nocc n ON n.query_id = q.query_id
+  UNION ALL
+  SELECT query_id, term,
+         {1.0 - RM3_ALPHA} * w / sum(w) OVER (PARTITION BY query_id) AS weight
+  FROM exp
+),
+scored2 AS (
+  SELECT wq.query_id, tf.doc_id,
+         sum(wq.weight * {part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM wq JOIN df ON df.term = wq.term JOIN tf ON tf.term = wq.term
+  CROSS JOIN stats s GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored2
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
+def _mlt_oracle_sql() -> str:
+    src_vals = ", ".join(f"({i})" for i in MLT_SOURCES)
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+src(doc_id) AS (VALUES {src_vals}),
+mw AS (
+  SELECT tf.doc_id AS query_id, tf.term,
+         round(tf.tf * ln(s.n_docs / df.df), 6) AS w
+  FROM src JOIN tf ON tf.doc_id = src.doc_id
+  JOIN df ON df.term = tf.term CROSS JOIN stats s
+),
+mq AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term, row_number() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term ASC) AS r
+    FROM mw) WHERE r <= {MLT_TOP_TERMS}
+),
+scored AS (
+  SELECT mq.query_id, tf.doc_id, sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM mq JOIN df ON df.term = mq.term JOIN tf ON tf.term = mq.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> mq.query_id
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
 FULLTEXT_ORACLES = {
     "corpus_stats": f"""
 WITH {_D_CTE}
@@ -607,5 +783,13 @@ SELECT term, df, max_tf FROM df
     "bm25_sharded_topk": _topk_sql("BM25", conjunctive=False),
     "retrieval_quality": _quality_oracle_sql(),
     "phrase_match": _phrase_oracle_sql(),
+    # candidate filter on lang='en'; stats stay global on both sides
+    "bm25_filtered_topk": _topk_sql(
+        "BM25", conjunctive=False,
+        filter_sql=("AND tf.doc_id IN (SELECT doc_id FROM documents "
+                    f"WHERE lang = '{FILTER_LANG}')"),
+    ),
+    "bm25_rm3_topk": _rm3_oracle_sql(),
+    "more_like_this": _mlt_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -77,16 +77,32 @@ def topk_from_tables(
     id_col: str = "doc_no",
     tie_round: int | None = None,
     deletes: DataFrame | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Core scorer over raw index tables.
 
     postings:      (term, <id_col>, tf, doc_len, ...)
     terms:         (term, df, ...)
-    q_occurrences: (query_id, pos, term) — one row per token OCCURRENCE
+    q_occurrences: (query_id, pos, term) — one row per token OCCURRENCE.
+                   May carry an optional `weight` double column: each
+                   occurrence's score contribution is multiplied by it
+                   (weighted-query retrieval — RM3 expansion, BM25F-style
+                   field boosts, more-like-this all reduce to this).
+                   Absent column = weight 1.0 per occurrence (the
+                   reference's per-occurrence semantics, search.go:30-46).
     deletes:       optional tombstones carrying <id_col> (index/deletes.py
                    live-docs semantics: excluded from results, stats
                    untouched) — anti-joined BEFORE top-k selection, so a
                    page of deleted docs can never under-fill k
+    doc_filter:    optional DataFrame carrying <id_col>: restrict the
+                   CANDIDATE set to these docs (metadata-filtered search,
+                   e.g. lang='en' or one conversation).  Global statistics
+                   (df, idf, adl, N) are NOT re-derived over the filtered
+                   subset — standard filtered-retrieval semantics (scores
+                   comparable across filters; Lucene's filter-query model).
+                   Semi-joined on the term-pruned matched rows, so the
+                   filter never touches unmatched postings; Spark/AQE
+                   broadcasts it when small (the common single-conv case).
     Returns (query_id, rank, <id_col>, score), rank 0-based.
 
     tie_round: if set, ranking orders by round(score, tie_round) so that
@@ -99,9 +115,16 @@ def topk_from_tables(
     # global-term lookup: inner join drops absent terms (search.go:29-46)
     qt = q_occurrences.join(terms.select("term", "df"), "term")
 
-    matched = postings.join(
-        F.broadcast(qt), "term"
-    ).withColumn("part_score", score_expr(metric, n_docs, adl))
+    part = score_expr(metric, n_docs, adl)
+    if "weight" in q_occurrences.columns:
+        part = part * F.col("weight")
+    matched = postings.join(F.broadcast(qt), "term").withColumn(
+        "part_score", part
+    )
+    if doc_filter is not None:
+        matched = matched.join(
+            doc_filter.select(id_col), id_col, "left_semi"
+        )
 
     per_doc = matched.groupBy("query_id", id_col).agg(
         F.sum("part_score").alias("score"),
@@ -164,9 +187,17 @@ def search_topk(
     conjunctive: bool = False,
     prune_scan: bool = True,
     max_driver_queries: int = 10_000,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Returns (query_id, rank, doc_no, score); rank 0-based like the
     reference's TREC output (cmd/search.go:92-95).
+
+    doc_filter: optional DataFrame with a doc_no column — restrict
+    results to these docs (e.g. index.docs.where(conv-predicate)
+    .select("doc_no")); global df/adl statistics stay corpus-wide (see
+    topk_from_tables).  Under the slim doc_id-only postings layout the
+    filter is translated to internal ids by one semi-join against the
+    docs table before scoring.
 
     Latency plan: a query set is small by contract (the reference loads
     its whole TSV in memory, query.go:19-51), so queries are tokenized
@@ -228,10 +259,14 @@ def search_topk(
     from pulse_spark.index.deletes import load_deletes
 
     dels = load_deletes(spark, index.out_dir)
+    if doc_filter is not None and id_col == "doc_id":
+        doc_filter = index.docs.join(
+            doc_filter.select("doc_no"), "doc_no", "left_semi"
+        ).select("doc_id")
     res = topk_from_tables(
         postings, index.terms, qt, index.n_docs, index.adl,
         k=k, metric=metric, conjunctive=conjunctive, id_col=id_col,
-        deletes=dels,
+        deletes=dels, doc_filter=doc_filter,
     )
     if id_col == "doc_id":
         res = (

@@ -80,6 +80,24 @@ def test_no_cartesian_in_datapipe_scale_paths(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_expand_and_filter_plans_are_scale_safe(spark):
+    """RM3 / more-like-this / filtered search: every join hash-based (no
+    cartesian/nested-loop), the doc_filter a semi-join, and RM3's
+    exclude-originals anti-join broadcast (the query's own term set is
+    tiny by contract — a sort-merge anti there would shuffle the
+    feedback model for nothing)."""
+    from pulse_spark import harness
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("bm25_filtered_topk", "bm25_rm3_topk", "more_like_this"):
+        plan = _plan(harness.FULLTEXT_QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        if name == "bm25_filtered_topk":
+            assert "LeftSemi" in plan, plan
+
+
 def test_salted_layout_splits_hot_term(spark, tmp_path):
     """North-rule salted repartition-by-term: with a term carrying ~25%
     of all postings, the unsalted layout's biggest reducer task must be
