@@ -519,6 +519,31 @@ class PointServer:
         lens = np.frombuffer(bytes(lens_bin), dtype="<u4").astype(np.uint64)
         return ids, tfs, lens
 
+    def filter_mask(
+        self,
+        doc_nos=None,
+        conv_ids=None,
+    ) -> np.ndarray:
+        """Build a global-id_space boolean mask for search(allowed_mask=...)
+        from external doc_nos and/or conv_ids ("conv" matches every
+        "conv:turn" doc).  Requires load_doc_nos=True.  One O(id_space)
+        Python pass — build once and REUSE across queries (the mask is
+        the serving analog of query/search.py's doc_filter; a production
+        fleet would precompute masks for its common filters)."""
+        if self.doc_nos is None:
+            raise ValueError("filter_mask requires load_doc_nos=True")
+        wanted = set(doc_nos) if doc_nos else None
+        convs = set(conv_ids) if conv_ids else None
+        mask = np.zeros(self.id_space, dtype=bool)
+        for did, dn in enumerate(self.doc_nos):
+            if dn is None:
+                continue
+            if wanted is not None and dn in wanted:
+                mask[did] = True
+            elif convs is not None and str(dn).rsplit(":", 1)[0] in convs:
+                mask[did] = True
+        return mask
+
     def search(
         self,
         text: str,
@@ -526,16 +551,32 @@ class PointServer:
         metric: str = "BM25",
         conjunctive: bool = False,
         query_id: int = 0,
+        allowed_mask: "np.ndarray | None" = None,
     ) -> list[ServeResult]:
         """Rank-identical to search_topk: duplicate query tokens score per
         occurrence (search.go:30-46); absent terms dropped; conjunctive
         requires all remaining distinct terms (search.go:113-116); ties
-        (score desc, doc_id asc)."""
+        (score desc, doc_id asc).
+
+        allowed_mask: optional global-id_space bool array (see
+        filter_mask) — restrict results to these docs, stats global
+        (query/search.py doc_filter semantics).  Applied at accumulation
+        time, BEFORE candidates enter the top-k state, so the MaxScore
+        k-th threshold only ever rests on allowed docs (post-filtering
+        the results instead would make pruning unsound: an inflated
+        unfiltered threshold could skip blocks holding allowed docs)."""
         if self._closed:
             raise RuntimeError("PointServer is closed")
         if metric.upper() not in ("BM25", "TFIDF"):
             raise ValueError(f"{metric} is not a valid metric")
         use_bm25 = metric.upper() == "BM25"
+        fmask = None
+        if allowed_mask is not None:
+            if allowed_mask.shape[0] != self.id_space:
+                raise ValueError(
+                    f"allowed_mask must cover id_space {self.id_space}"
+                )
+            fmask = allowed_mask[self._base:self._base + self._span]
 
         w: dict[str, int] = {}
         for t in py_tokens(text, self.settings.preprocess) if text else []:
@@ -660,6 +701,10 @@ class PointServer:
                         live = ~self._deleted[idx]
                         if not live.all():
                             idx, sc = idx[live], sc[live]
+                    if fmask is not None and idx.size:
+                        ok = fmask[idx]
+                        if not ok.all():
+                            idx, sc = idx[ok], sc[ok]
                     if idx.size:
                         new = ~matched[idx]
                         n_matched += int(np.count_nonzero(new))
@@ -885,8 +930,17 @@ class ShardedServer:
         metric: str = "BM25",
         conjunctive: bool = False,
         query_id: int = 0,
+        allowed_mask: "np.ndarray | None" = None,
     ) -> list[ServeResult]:
         if self.parallel:
+            if allowed_mask is not None:
+                # shipping an id_space-sized mask per query over the
+                # shard pipes would dwarf the query itself; a process
+                # fleet should register masks shard-side at startup
+                raise ValueError(
+                    "allowed_mask is not supported over process shards — "
+                    "use in-process shards or filter shard-side"
+                )
             msg = (text, k, metric, conjunctive, query_id)
             for c in self._conns:  # fan out to EVERY shard first…
                 c.send(msg)
@@ -919,7 +973,7 @@ class ShardedServer:
             ]
         per_shard = [
             s.search(text, k=k, metric=metric, conjunctive=conjunctive,
-                     query_id=query_id)
+                     query_id=query_id, allowed_mask=allowed_mask)
             for s in self.shards
         ]
         merged = sorted(

@@ -309,6 +309,67 @@ def test_server_close_and_context_manager(served_index):
         srv.search("join merge", k=5)
 
 
+def test_filtered_search_matches_exhaustive_postfilter(served_index):
+    """allowed_mask restricts candidates with GLOBAL stats: equals
+    post-filtering an exhaustive run — exercised with a filter that
+    removes the TOP scorers, the exact case where post-filtering the
+    pruned path would be unsound (inflated unfiltered k-th threshold)."""
+    import numpy as np
+
+    idx, srv = served_index
+    text = max(
+        (t for _, t in gen_queries()),
+        key=lambda t: len(srv.search(t, k=10_000)),
+    )
+    full = srv.search(text, k=10_000)
+    assert len(full) > 6
+    allowed = {r.doc_id for r in full[len(full) // 2:]}  # bottom half only
+    mask = np.zeros(srv.id_space, dtype=bool)
+    mask[sorted(allowed)] = True
+    got = srv.search(text, k=5, allowed_mask=mask)
+    exp = [r for r in full if r.doc_id in allowed][:5]
+    assert [(r.doc_id, r.score) for r in got] == \
+        [(r.doc_id, r.score) for r in exp]
+    # conjunctive under the same mask stays a subset of the allowed set
+    for r in srv.search(text, k=5, conjunctive=True, allowed_mask=mask):
+        assert r.doc_id in allowed
+
+
+def test_filter_mask_and_sharded_filtered(served_index):
+    """filter_mask(conv_ids=...) == filter_mask(doc_nos=<that conv's
+    docs>); the in-process 2-shard fleet serves the same filtered
+    results as the whole-index server; process shards refuse the mask."""
+    import numpy as np
+
+    from pulse_spark.serve import ShardedServer
+
+    idx, srv = served_index
+    text = max(
+        (t for _, t in gen_queries()),
+        key=lambda t: len(srv.search(t, k=10_000)),
+    )
+    convs = sorted({
+        str(srv.doc_nos[r.doc_id]).rsplit(":", 1)[0]
+        for r in srv.search(text, k=10_000)
+    })[:3]
+    m1 = srv.filter_mask(conv_ids=convs)
+    nos = [str(dn) for dn in srv.doc_nos
+           if dn is not None and str(dn).rsplit(":", 1)[0] in convs]
+    m2 = srv.filter_mask(doc_nos=nos)
+    assert np.array_equal(m1, m2) and m1.any()
+    whole = srv.search(text, k=8, allowed_mask=m1)
+    assert whole and all(
+        str(srv.doc_nos[r.doc_id]).rsplit(":", 1)[0] in convs for r in whole
+    )
+    sh = ShardedServer(idx.out_dir, n_shards=2)
+    try:
+        got = sh.search(text, k=8, allowed_mask=m1)
+        assert [(r.doc_no, r.score) for r in got] == \
+            [(r.doc_no, r.score) for r in whole]
+    finally:
+        sh.close()
+
+
 def test_arena_tuning_disables_numpy_hugepages(served_index):
     """enable_malloc_arena (the serving-process tuning entry point) must
     also turn off numpy's MADV_HUGEPAGE: under kernel defrag=madvise a
