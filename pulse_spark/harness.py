@@ -565,6 +565,54 @@ def q_phrase_match(spark, sf_dir):
     )
 
 
+SNIP_WINDOW = 8          # snippet span in display tokens
+FACET_COLS = ["lang", "source"]
+
+
+def q_snippet_extract(spark, sf_dir):
+    """Best-window snippet per BM25 top-k result (Spark-first extension;
+    Lucene/ES highlighting): the 8-token span maximizing summed idf of
+    matched query occurrences, earliest-start ties.  Only the k·q result
+    docs are tokenized — snippet cost is O(results) at any corpus size."""
+    from pulse_spark.query.snippet import snippet_topk
+
+    res = _topk(spark, sf_dir, "BM25", conjunctive=False)
+    t = _terms(spark, sf_dir)
+    n, _ = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    snip = snippet_topk(
+        res.select("query_id", "doc_id"),
+        load_documents(spark, sf_dir).select("doc_id", "text"),
+        occ, t, n, SETTINGS.preprocess,
+        window=SNIP_WINDOW, id_col="doc_id", tie_round=6,
+    )
+    return snip.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("start").cast("long"),
+        F.round("snip_score", 6).alias("snip_score"),
+        "snippet",
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet histograms of each query's matched set (Spark-first
+    extension; ES terms aggregations): disjunctive match via term-pruned
+    postings, deduplicated, counted by lang and source."""
+    from pulse_spark.query.facets import facet_counts
+
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    return facet_counts(
+        _postings(spark, sf_dir), occ,
+        load_documents(spark, sf_dir).select("doc_id", *FACET_COLS),
+        FACET_COLS, id_col="doc_id",
+    ).select(F.col("query_id").cast("long"), "facet", "value", "n_docs")
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -583,6 +631,8 @@ FULLTEXT_QUERIES = {
     "bm25_filtered_topk": q_bm25_filtered_topk,
     "bm25_rm3_topk": q_bm25_rm3_topk,
     "more_like_this": q_more_like_this,
+    "snippet_extract": q_snippet_extract,
+    "facet_counts": q_facet_counts,
 }
 
 
@@ -747,6 +797,88 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _snippet_oracle_sql() -> str:
+    """Two-stage snippet oracle: the exact bm25_topk result set, then
+    per (query, doc) the best SNIP_WINDOW-token display-stream window
+    (stopwords kept — _toks_sql(False)) by summed idf, earliest-start
+    ties, rendered with list_slice."""
+    W = SNIP_WINDOW
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+topk AS (
+  SELECT query_id, doc_id FROM scored
+  WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+  QUALIFY row_number() OVER w <= {K}
+),
+d2 AS (
+  SELECT doc_id, {_toks_sql(False)} AS toks FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM topk)
+),
+occ2 AS (
+  SELECT doc_id, unnest(toks) AS term,
+         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+  FROM d2
+),
+qw AS (
+  SELECT DISTINCT q.query_id, q.term, ln(s.n_docs / df.df) AS weight
+  FROM q JOIN df ON df.term = q.term CROSS JOIN stats s
+),
+mt AS (
+  SELECT t.query_id, t.doc_id, qw.weight, o.pos
+  FROM topk t JOIN occ2 o ON o.doc_id = t.doc_id
+  JOIN qw ON qw.query_id = t.query_id AND qw.term = o.term
+),
+ws AS (
+  SELECT query_id, doc_id, weight,
+         CAST(unnest(generate_series(greatest(pos - {W} + 1, 0), pos))
+              AS BIGINT) AS start
+  FROM mt
+),
+agg AS (
+  SELECT query_id, doc_id, start, sum(weight) AS snip_score
+  FROM ws GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT query_id, doc_id, start, snip_score FROM agg
+  WINDOW w AS (PARTITION BY query_id, doc_id
+               ORDER BY round(snip_score, 6) DESC, start ASC)
+  QUALIFY row_number() OVER w = 1
+)
+SELECT CAST(b.query_id AS BIGINT) AS query_id,
+       CAST(b.doc_id AS BIGINT) AS doc_id,
+       b.start, round(b.snip_score, 6) AS snip_score,
+       array_to_string(list_slice(d2.toks, b.start + 1, b.start + {W}), ' ')
+         AS snippet
+FROM best b JOIN d2 ON d2.doc_id = b.doc_id
+"""
+
+
+def _facets_oracle_sql() -> str:
+    sels = " UNION ALL ".join(
+        f"SELECT m.query_id, '{c}' AS facet, CAST(dd.{c} AS VARCHAR) AS value "
+        f"FROM m JOIN documents dd ON dd.doc_id = m.doc_id"
+        for c in FACET_COLS
+    )
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE},
+{_queries_values_sql()},
+qt AS (SELECT DISTINCT query_id, term FROM q),
+m AS (SELECT DISTINCT qt.query_id, tf.doc_id
+      FROM qt JOIN tf ON tf.term = qt.term),
+fv AS ({sels})
+SELECT CAST(query_id AS BIGINT) AS query_id, facet, value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM fv GROUP BY 1, 2, 3
+"""
+
+
 FULLTEXT_ORACLES = {
     "corpus_stats": f"""
 WITH {_D_CTE}
@@ -791,5 +923,7 @@ SELECT term, df, max_tf FROM df
     ),
     "bm25_rm3_topk": _rm3_oracle_sql(),
     "more_like_this": _mlt_oracle_sql(),
+    "snippet_extract": _snippet_oracle_sql(),
+    "facet_counts": _facets_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }
