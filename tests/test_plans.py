@@ -98,6 +98,26 @@ def test_expand_and_filter_plans_are_scale_safe(spark):
             assert "LeftSemi" in plan, plan
 
 
+def test_snippet_and_facet_plans_are_scale_safe(spark):
+    """Snippet extraction / facet counts: hash joins only, the
+    result-doc restriction a semi-join (only k·q docs ever tokenized),
+    and the facet matched-set dedup a partial (two-stage) aggregate —
+    the properties that keep both O(results)/O(matched) at 100 TB."""
+    from pulse_spark import harness
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("snippet_extract", "facet_counts"):
+        plan = _plan(harness.FULLTEXT_QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+    snip_plan = _plan(harness.FULLTEXT_QUERIES["snippet_extract"](spark, sf))
+    assert "LeftSemi" in snip_plan, snip_plan
+    facet_plan = _plan(harness.FULLTEXT_QUERIES["facet_counts"](spark, sf))
+    # matched-set dedup and the facet count both partial-aggregate
+    assert facet_plan.count("HashAggregate") >= 4, facet_plan
+
+
 def test_salted_layout_splits_hot_term(spark, tmp_path):
     """North-rule salted repartition-by-term: with a term carrying ~25%
     of all postings, the unsalted layout's biggest reducer task must be
