@@ -613,6 +613,76 @@ def q_facet_counts(spark, sf_dir):
     ).select(F.col("query_id").cast("long"), "facet", "value", "n_docs")
 
 
+# prefix / fuzzy term-expansion probes (query/wildcard.py).  's' expands
+# to 6 lexicon terms so PREFIX_MAX_EXP=4 exercises the top-df cut; the
+# duplicated 'gr' occurrence pins per-occurrence scoring; 'zz'/'xyzzy'
+# pin probe-miss semantics (query 5 returns no rows).
+PREFIX_PROBES: list[tuple[int, int, str]] = [
+    (1, 0, "s"), (1, 1, "jo"),
+    (2, 0, "gr"), (2, 1, "gr"),
+    (3, 0, "qu"), (3, 1, "zz"),
+    (4, 0, "c"),
+    (5, 0, "zz"),
+]
+PREFIX_MAX_EXP = 4
+FUZZY_PROBES: list[tuple[int, int, str]] = [
+    (1, 0, "sow"),                  # -> {row, slow}
+    (2, 0, "joi"), (2, 1, "mergee"),
+    (3, 0, "kay"), (3, 1, "kay"),   # duplicated occurrence scores twice
+    (4, 0, "dups"),                 # -> dup (rare term, high idf)
+    (5, 0, "xyzzy"),                # no match -> query drops
+    (6, 0, "spark"),                # exact match (distance 0)
+]
+FUZZY_MAX_EDITS = 1
+FUZZY_MAX_EXP = 50
+
+
+def q_bm25_prefix_topk(spark, sf_dir):
+    """Prefix (wildcard) search (query/wildcard.py; Lucene PrefixQuery,
+    top-terms rewrite): each probe expands to the max_expansions
+    highest-df lexicon terms sharing the prefix, then scores through the
+    standard BM25 pipeline per probe occurrence."""
+    from pulse_spark.query.wildcard import prefix_topk
+
+    qp = spark.createDataFrame(
+        PREFIX_PROBES, "query_id long, pos int, prefix string"
+    )
+    res = prefix_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qp,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        max_expansions=PREFIX_MAX_EXP, id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_fuzzy_topk(spark, sf_dir):
+    """Typo-tolerant search (query/wildcard.py; Lucene FuzzyQuery):
+    probes expand to lexicon terms within Levenshtein distance 1
+    (exact matches included), then score like any multi-term query."""
+    from pulse_spark.query.wildcard import fuzzy_topk
+
+    qt = spark.createDataFrame(
+        FUZZY_PROBES, "query_id long, pos int, token string"
+    )
+    res = fuzzy_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qt,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        max_edits=FUZZY_MAX_EDITS, max_expansions=FUZZY_MAX_EXP,
+        id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -633,6 +703,8 @@ FULLTEXT_QUERIES = {
     "more_like_this": q_more_like_this,
     "snippet_extract": q_snippet_extract,
     "facet_counts": q_facet_counts,
+    "bm25_prefix_topk": q_bm25_prefix_topk,
+    "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
 }
 
 
@@ -879,6 +951,40 @@ FROM fv GROUP BY 1, 2, 3
 """
 
 
+def _expansion_oracle_sql(
+    probes: list[tuple[int, int, str]], match_sql: str, max_exp: int
+) -> str:
+    """Shared prefix/fuzzy oracle: expand each probe occurrence to the
+    max_exp highest-df lexicon matches (ties term-asc — wildcard.py's
+    top-terms rewrite), then the standard disjunctive BM25 top-k."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    rows = ", ".join(f"({qid}, {pos}, '{p}')" for qid, pos, p in probes)
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+p(query_id, pos, probe) AS (VALUES {rows}),
+exp AS (
+  SELECT query_id, pos, term FROM (
+    SELECT p.query_id, p.pos, df.term,
+           row_number() OVER (PARTITION BY p.query_id, p.pos
+                              ORDER BY df.df DESC, df.term ASC) AS r
+    FROM p JOIN df ON {match_sql})
+  WHERE r <= {max_exp}
+),
+scored AS (
+  SELECT e.query_id, tf.doc_id,
+         sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM exp e JOIN df ON df.term = e.term JOIN tf ON tf.term = e.term
+  CROSS JOIN stats s GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
 FULLTEXT_ORACLES = {
     "corpus_stats": f"""
 WITH {_D_CTE}
@@ -925,5 +1031,13 @@ SELECT term, df, max_tf FROM df
     "more_like_this": _mlt_oracle_sql(),
     "snippet_extract": _snippet_oracle_sql(),
     "facet_counts": _facets_oracle_sql(),
+    "bm25_prefix_topk": _expansion_oracle_sql(
+        PREFIX_PROBES, "df.term LIKE p.probe || '%'", PREFIX_MAX_EXP
+    ),
+    "bm25_fuzzy_topk": _expansion_oracle_sql(
+        FUZZY_PROBES,
+        f"levenshtein(df.term, p.probe) <= {FUZZY_MAX_EDITS}",
+        FUZZY_MAX_EXP,
+    ),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

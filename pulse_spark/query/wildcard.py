@@ -1,0 +1,176 @@
+"""Prefix (wildcard) and fuzzy term-expansion queries (Spark-first
+extension; the Lucene PrefixQuery / FuzzyQuery family the reference
+engine doesn't offer).
+
+Both rewrite a probe into the set of matching lexicon terms, keep the
+`max_expansions` most frequent (Lucene's top-terms rewrite: highest-df
+expansions carry the candidates; ties term-asc for determinism), then
+score the expanded term set through the standard BM25/TFIDF pipeline —
+per probe OCCURRENCE, consistent with the engine's duplicate-token
+semantics.
+
+Scale shape:
+  - expansion is ONE predicated scan of the lexicon (a `term` table of
+    ~10^8 rows at 10^12 turns, trivially partition-parallel): prefix
+    probes compile to StartsWith predicates that push down to the
+    term-sorted lexicon files; fuzzy probes are evaluated as JVM
+    `levenshtein` expressions in the same scan (Lucene walks an FST
+    automaton over the same lexicon — relationally that is exactly a
+    predicated scan).  No join touches the lexicon: matched probes are
+    attached by a projected CASE/explode, then a broadcast equi-join of
+    the tiny probe set.
+  - the surviving expansion set is bounded (probes x max_expansions),
+    collected driver-side like search_topk's query terms, and pushed
+    into the postings scan as term/bucket literals — only the expanded
+    terms' posting lists are ever read.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import or_
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pulse_spark.query.search import topk_from_tables
+
+
+def _expand_probes(
+    terms: DataFrame,
+    probes: list[tuple[int, int, str]],
+    match: "callable[[Column, str], Column]",
+    max_expansions: int,
+) -> DataFrame:
+    """(query_id, pos, term): lexicon terms matching each probe, top
+    max_expansions per (query_id, pos) by (df desc, term asc)."""
+    spark = terms.sparkSession
+    probe_strs = sorted({p for _, _, p in probes})
+    cand = terms.select("term", "df").where(
+        reduce(or_, [match(F.col("term"), p) for p in probe_strs])
+    )
+    matched = F.array_compact(F.array(*[
+        F.when(match(F.col("term"), p), F.lit(p)) for p in probe_strs
+    ]))
+    per_probe = cand.select("term", "df", F.explode(matched).alias("probe"))
+    occ = spark.createDataFrame(probes, "query_id long, pos int, probe string")
+    w = Window.partitionBy("query_id", "pos").orderBy(
+        F.desc("df"), F.asc("term")
+    )
+    return (
+        per_probe.join(F.broadcast(occ), "probe")
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= max_expansions)
+        .select("query_id", "pos", "term")
+    )
+
+
+def _expanded_topk(
+    postings: DataFrame,
+    terms: DataFrame,
+    expanded: DataFrame,
+    n_docs: int,
+    adl: float,
+    k: int,
+    metric: str,
+    id_col: str,
+    tie_round: int | None,
+    term_buckets: int | None,
+) -> DataFrame:
+    spark = postings.sparkSession
+    rows = expanded.collect()  # bounded: probes x max_expansions
+    if not rows:
+        return spark.createDataFrame(
+            [], f"query_id long, rank int, {id_col} "
+                f"{'string' if id_col == 'doc_no' else 'long'}, score double"
+        )
+    occ = spark.createDataFrame(rows, "query_id long, pos int, term string")
+    exp_terms = sorted({r["term"] for r in rows})
+    if "bucket" in postings.columns and term_buckets:
+        from pulse_spark.compression.xxhash64 import term_bucket
+
+        buckets = sorted({term_bucket(t, term_buckets) for t in exp_terms})
+        postings = postings.where(F.col("bucket").isin(buckets))
+    postings = postings.where(F.col("term").isin(exp_terms))
+    return topk_from_tables(
+        postings, terms, occ, n_docs, adl, k=k, metric=metric,
+        id_col=id_col, tie_round=tie_round,
+    )
+
+
+def prefix_topk(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_prefixes: DataFrame,
+    n_docs: int,
+    adl: float,
+    k: int = 10,
+    metric: str = "BM25",
+    max_expansions: int = 50,
+    id_col: str = "doc_no",
+    tie_round: int | None = None,
+    term_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k over prefix probes (Lucene PrefixQuery, top-terms rewrite).
+
+    q_prefixes: (query_id, pos, prefix) — one row per probe OCCURRENCE;
+    collected driver-side (a query set is tiny by contract).  Probes
+    matching nothing drop out; a query whose probes all miss returns no
+    rows.  Returns (query_id, rank, <id_col>, score).
+    """
+    probes = [
+        (r["query_id"], r["pos"], r["prefix"]) for r in q_prefixes.collect()
+    ]
+    if not probes:
+        return _expanded_topk(
+            postings, terms,
+            postings.sparkSession.createDataFrame(
+                [], "query_id long, pos int, term string"),
+            n_docs, adl, k, metric, id_col, tie_round, term_buckets)
+    expanded = _expand_probes(
+        terms, probes, lambda t, p: t.startswith(p), max_expansions
+    )
+    return _expanded_topk(
+        postings, terms, expanded, n_docs, adl, k, metric, id_col,
+        tie_round, term_buckets,
+    )
+
+
+def fuzzy_topk(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_tokens: DataFrame,
+    n_docs: int,
+    adl: float,
+    k: int = 10,
+    metric: str = "BM25",
+    max_edits: int = 1,
+    max_expansions: int = 50,
+    id_col: str = "doc_no",
+    tie_round: int | None = None,
+    term_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k over typo-tolerant probes (Lucene FuzzyQuery): lexicon
+    terms within `max_edits` Levenshtein distance of each probe.
+
+    q_tokens: (query_id, pos, token).  Exact matches are included
+    (distance 0).  Returns (query_id, rank, <id_col>, score).
+    """
+    probes = [
+        (r["query_id"], r["pos"], r["token"]) for r in q_tokens.collect()
+    ]
+    if not probes:
+        return _expanded_topk(
+            postings, terms,
+            postings.sparkSession.createDataFrame(
+                [], "query_id long, pos int, term string"),
+            n_docs, adl, k, metric, id_col, tie_round, term_buckets)
+    expanded = _expand_probes(
+        terms, probes,
+        lambda t, p: F.levenshtein(t, F.lit(p)) <= max_edits,
+        max_expansions,
+    )
+    return _expanded_topk(
+        postings, terms, expanded, n_docs, adl, k, metric, id_col,
+        tie_round, term_buckets,
+    )

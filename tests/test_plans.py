@@ -118,6 +118,38 @@ def test_snippet_and_facet_plans_are_scale_safe(spark):
     assert facet_plan.count("HashAggregate") >= 4, facet_plan
 
 
+def test_wildcard_plans_are_scale_safe(spark):
+    """Prefix/fuzzy expansion (query/wildcard.py): the lexicon scan is a
+    predicated filter (StartsWith / levenshtein expressions — never a
+    join against the lexicon), the bounded expansion set reaches the
+    postings scan as an In(term, ...) literal filter, and every join is
+    hash-based — what keeps expansion O(lexicon scan) + O(expanded
+    postings) at 100 TB."""
+    from pulse_spark import harness
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("bm25_prefix_topk", "bm25_fuzzy_topk"):
+        plan = _plan(harness.FULLTEXT_QUERIES[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        # the expanded term set is pushed into the postings scan as
+        # literals (term-pruned), not joined
+        import re
+
+        assert re.search(r"term#\d+ IN(SET)?\s*\(", plan), name
+
+    from pulse_spark.query.wildcard import _expand_probes
+
+    t = harness._terms(spark, sf)
+    exp = _expand_probes(
+        t, [(1, 0, "s")], lambda c, p: c.startswith(p), 4
+    )
+    eplan = _plan(exp)
+    assert "StartsWith" in eplan, eplan
+    assert "SortMergeJoin" not in eplan, eplan
+
+
 def test_salted_layout_splits_hot_term(spark, tmp_path):
     """North-rule salted repartition-by-term: with a term carrying ~25%
     of all postings, the unsalted layout's biggest reducer task must be

@@ -1,0 +1,177 @@
+"""Semantics pins for prefix (wildcard) and fuzzy term-expansion queries
+(query/wildcard.py) on hand-built corpora where the expected expansion
+set is derivable by inspection.  Cross-engine value-equality at sf0.01
+is the DuckDB oracle gate's job (tests/test_harness_oracle.py rows
+bm25_prefix_topk / bm25_fuzzy_topk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.index.build import postings_df, terms_df
+from pulse_spark.query.search import topk_from_tables
+from pulse_spark.query.wildcard import fuzzy_topk, prefix_topk
+from pulse_spark.text.udfs import doc_len_bytes
+
+SETTINGS = IndexingSettings(stopwords_removal=True, stemming=False)
+
+
+def _corpus(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_len = docs.select(
+        "doc_id", "text", doc_len_bytes("text").cast("long").alias("doc_len")
+    )
+    p = postings_df(with_len, SETTINGS, id_col="doc_id")
+    t = terms_df(p)
+    st = with_len.agg(F.count(F.lit(1)), F.avg("doc_len")).collect()[0]
+    return p, t, int(st[0]), float(st[1])
+
+
+def _ranked(res):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    ]
+
+
+def _probes(spark, rows, col):
+    return spark.createDataFrame(rows, f"query_id long, pos int, {col} string")
+
+
+def test_prefix_expands_to_manual_disjunction(spark):
+    """A prefix probe scores exactly like the hand-expanded multi-term
+    query: one occurrence per matched lexicon term at the probe's pos."""
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "spark spam join"),
+            (2, "spark spark merge"),
+            (3, "spam spot"),
+            (4, "join merge"),
+        ],
+    )
+    res = prefix_topk(
+        p, t, _probes(spark, [(1, 0, "sp")], "prefix"), n, adl,
+        k=4, id_col="doc_id", tie_round=6,
+    )
+    manual_occ = _probes(
+        spark,
+        [(1, 0, "spam"), (1, 0, "spark"), (1, 0, "spot")],
+        "term",
+    )
+    manual = topk_from_tables(
+        p, t, manual_occ, n, adl, k=4, id_col="doc_id", tie_round=6
+    )
+    assert _ranked(res) == _ranked(manual)
+    # doc 4 matches no sp* term and must be absent
+    assert 4 not in {r[2] for r in _ranked(res)}
+
+
+def test_prefix_max_expansions_keeps_top_df(spark):
+    """With max_expansions=2 the probe keeps only the 2 highest-df
+    matches (ties term-asc) — Lucene's top-terms rewrite."""
+    # dfs: spark=3 docs, spam=2, spot=1
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "spark spam"),
+            (2, "spark spam"),
+            (3, "spark spot"),
+            (4, "merge"),
+        ],
+    )
+    res = prefix_topk(
+        p, t, _probes(spark, [(1, 0, "sp")], "prefix"), n, adl,
+        k=4, max_expansions=2, id_col="doc_id", tie_round=6,
+    )
+    manual = topk_from_tables(
+        p, t,
+        _probes(spark, [(1, 0, "spark"), (1, 0, "spam")], "term"),
+        n, adl, k=4, id_col="doc_id", tie_round=6,
+    )
+    assert _ranked(res) == _ranked(manual)
+    # doc 3 still matches via 'spark', but 'spot' contributes nothing:
+    # its score must equal the spark-only contribution, not spark+spot
+    only_spark = dict(
+        (r[2], r[3]) for r in _ranked(
+            topk_from_tables(
+                p, t, _probes(spark, [(1, 0, "spark")], "term"),
+                n, adl, k=4, id_col="doc_id", tie_round=6,
+            )
+        )
+    )
+    got = {r[2]: r[3] for r in _ranked(res)}
+    assert got[3] == pytest.approx(only_spark[3], rel=1e-12)
+
+
+def test_fuzzy_matches_within_edit_distance(spark):
+    """max_edits=1 catches distance-0 (exact) and distance-1 lexicon
+    terms and excludes distance-2; per-occurrence semantics hold (a
+    duplicated probe occurrence scores twice)."""
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "slow merge"),   # slow: dist("sow","slow")=1
+            (2, "row join"),     # row:  dist("sow","row")=1
+            (3, "sort scan"),    # sort: dist("sow","sort")=2 -> excluded
+        ],
+    )
+    res = fuzzy_topk(
+        p, t, _probes(spark, [(1, 0, "sow")], "token"), n, adl,
+        k=3, max_edits=1, id_col="doc_id", tie_round=6,
+    )
+    manual = topk_from_tables(
+        p, t, _probes(spark, [(1, 0, "row"), (1, 0, "slow")], "term"),
+        n, adl, k=3, id_col="doc_id", tie_round=6,
+    )
+    assert _ranked(res) == _ranked(manual)
+    assert 3 not in {r[2] for r in _ranked(res)}
+
+    dup = fuzzy_topk(
+        p, t, _probes(spark, [(2, 0, "slow"), (2, 1, "slow")], "token"),
+        n, adl, k=3, max_edits=1, id_col="doc_id", tie_round=6,
+    )
+    single = fuzzy_topk(
+        p, t, _probes(spark, [(2, 0, "slow")], "token"),
+        n, adl, k=3, max_edits=1, id_col="doc_id", tie_round=6,
+    )
+    d, s = dict(
+        (r[2], r[3]) for r in _ranked(dup)
+    ), dict((r[2], r[3]) for r in _ranked(single))
+    assert set(d) == set(s)
+    for doc, sc in s.items():
+        assert d[doc] == pytest.approx(2 * sc, rel=1e-12)
+
+
+def test_missing_probes_drop_out(spark):
+    """Probes matching nothing contribute nothing; a query whose probes
+    all miss returns no rows; an empty probe set returns an empty frame
+    with the contract schema."""
+    p, t, n, adl = _corpus(spark, [(1, "spark join"), (2, "merge")])
+    res = prefix_topk(
+        p, t,
+        _probes(spark, [(1, 0, "zz"), (2, 0, "sp"), (2, 1, "zz")], "prefix"),
+        n, adl, k=3, id_col="doc_id", tie_round=6,
+    )
+    got = _ranked(res)
+    assert {r[0] for r in got} == {2}  # query 1 fully missed
+    only_sp = _ranked(
+        prefix_topk(
+            p, t, _probes(spark, [(2, 0, "sp")], "prefix"), n, adl,
+            k=3, id_col="doc_id", tie_round=6,
+        )
+    )
+    assert got == only_sp  # the missed probe changed nothing
+
+    empty = prefix_topk(
+        p, t, _probes(spark, [], "prefix"), n, adl, k=3, id_col="doc_id"
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"query_id", "rank", "doc_id", "score"}
+    fz = fuzzy_topk(
+        p, t, _probes(spark, [(1, 0, "xyzzy")], "token"), n, adl,
+        k=3, max_edits=1, id_col="doc_id",
+    )
+    assert fz.count() == 0
