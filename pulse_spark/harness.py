@@ -551,7 +551,7 @@ def q_more_like_this(spark, sf_dir):
     )
 
 
-PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary
+PHRASE = "spark join"  # adjacent after stopword removal; in-vocabulary (also the slop instance)
 
 
 def q_phrase_match(spark, sf_dir):
@@ -683,6 +683,56 @@ def q_bm25_fuzzy_topk(spark, sf_dir):
     )
 
 
+# boolean clause sets (query/boolean.py): veto, duplicate-must scoring,
+# pure disjunction, conjunction, absent-must (doesn't veto), pure
+# negative (matches nothing)
+BOOLEAN_QUERIES: list[tuple[int, int, str, str]] = [
+    (1, 0, "spark", "must"), (1, 1, "join", "should"), (1, 2, "merge", "must_not"),
+    (2, 0, "window", "must"), (2, 1, "window", "must"),
+    (3, 0, "scan", "should"), (3, 1, "table", "should"),
+    (4, 0, "hash", "must"), (4, 1, "vector", "must"),
+    (5, 0, "zzz", "must"), (5, 1, "row", "should"),
+    (6, 0, "key", "must_not"),
+]
+
+
+def q_bm25_boolean_topk(spark, sf_dir):
+    """Boolean must/should/must_not composition (query/boolean.py;
+    Lucene BooleanQuery model): one term-pruned postings scan folds
+    score, must-coverage and must_not-veto in a single aggregation."""
+    from pulse_spark.query.boolean import boolean_topk
+
+    qc = spark.createDataFrame(
+        BOOLEAN_QUERIES, "query_id long, pos int, term string, clause string"
+    )
+    res = boolean_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qc,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop_match(spark, sf_dir):
+    """Sloppy (proximity) phrase matching (query/phrase.py slop>0):
+    ordered greedy-earliest match within an n-1+slop span — a strict
+    superset of the exact-adjacency phrase_match row."""
+    from pulse_spark.query.phrase import phrase_match
+
+    return phrase_match(
+        load_documents(spark, sf_dir), PHRASE, SETTINGS.preprocess,
+        slop=PHRASE_SLOP,
+    )
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -705,6 +755,8 @@ FULLTEXT_QUERIES = {
     "facet_counts": q_facet_counts,
     "bm25_prefix_topk": q_bm25_prefix_topk,
     "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
+    "bm25_boolean_topk": q_bm25_boolean_topk,
+    "phrase_slop_match": q_phrase_slop_match,
 }
 
 
@@ -985,6 +1037,76 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _boolean_oracle_sql() -> str:
+    """must/should score; must_not contributes nothing and vetoes;
+    candidates need every corpus-present distinct must term (absent
+    terms dropped by the df join — the engine's convention)."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}', '{c}')" for qid, pos, t, c in BOOLEAN_QUERIES
+    )
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+q(query_id, pos, term, clause) AS (VALUES {rows}),
+nm AS (
+  SELECT q.query_id, count(DISTINCT q.term) AS n_must
+  FROM q JOIN df ON df.term = q.term WHERE q.clause = 'must' GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CASE WHEN q.clause <> 'must_not'
+             THEN {part} * ln(s.n_docs / df.df) ELSE 0 END) AS raw_score,
+         count(DISTINCT CASE WHEN q.clause = 'must' THEN q.term END)
+           AS must_hits,
+         max(CASE WHEN q.clause = 'must_not' THEN 1 ELSE 0 END) AS banned
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+f AS (
+  SELECT sc.query_id, sc.doc_id, sc.raw_score
+  FROM scored sc LEFT JOIN nm ON nm.query_id = sc.query_id
+  WHERE sc.must_hits = coalesce(nm.n_must, 0) AND sc.banned = 0
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM f
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
+def _phrase_slop_oracle_sql() -> str:
+    """Greedy earliest-next proximity chain, mirroring
+    query/phrase.py::proximity_count_expr token for token."""
+    from pulse_spark.text.normalize import tokens as py_tokens
+
+    toks = py_tokens(PHRASE, SETTINGS.preprocess)
+    n = len(toks)
+    pos = {
+        j: (
+            f"list_filter(range(1, len(toks) + 1), "
+            f"p{j} -> toks[p{j}] = '{t}')"
+        )
+        for j, t in enumerate(toks)
+    }
+    chain = "i"
+    for j in range(1, n):
+        chain = f"list_min(list_filter({pos[j]}, q{j} -> q{j} > {chain}))"
+    cond = f"{chain} <= i + {n - 1 + PHRASE_SLOP}" if n > 1 else "true"
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_sql(True)} AS toks FROM documents),
+c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN len(toks) >= {n} THEN
+           len(list_filter({pos[0]}, i -> {cond}))
+         ELSE 0 END AS BIGINT) AS n_occ
+  FROM d
+)
+SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+"""
+
+
 FULLTEXT_ORACLES = {
     "corpus_stats": f"""
 WITH {_D_CTE}
@@ -1039,5 +1161,7 @@ SELECT term, df, max_tf FROM df
         f"levenshtein(df.term, p.probe) <= {FUZZY_MAX_EDITS}",
         FUZZY_MAX_EXP,
     ),
+    "bm25_boolean_topk": _boolean_oracle_sql(),
+    "phrase_slop_match": _phrase_slop_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

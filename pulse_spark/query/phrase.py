@@ -42,14 +42,53 @@ def phrase_count_expr(n: int, phrase_tokens: list[str]) -> Column:
     )
 
 
+def proximity_count_expr(n: int, phrase_tokens: list[str], slop: int) -> Column:
+    """Sloppy-phrase occurrences in `_toks` (Lucene sloppy PhraseQuery,
+    ordered variant): a match starts at a position i holding token 1,
+    and each later token is found GREEDILY at its earliest position
+    after the previous one; the match counts iff the full span fits in
+    n - 1 + slop.  Greedy-earliest minimizes the final position for a
+    fixed start (exchange argument), so existence-within-span is exact.
+    slop=0 reduces to exact adjacency (phrase_count_expr semantics).
+
+    Expression shape: per-token 1-based position arrays, then a nested
+    earliest-after chain.  Nested HOFs are interpreted (no codegen) and
+    re-evaluate the inner chain per candidate position — fine for the
+    n ≤ ~4 tokens real queries carry; the conjunctive term-lookup
+    pre-prune keeps the scanned doc set small at scale."""
+    for t in phrase_tokens:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported token {t!r}")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    pos = {
+        j: (
+            f"filter(sequence(1, size(_toks)), p{j} -> "
+            f"element_at(_toks, CAST(p{j} AS INT)) = '{t}')"
+        )
+        for j, t in enumerate(phrase_tokens)
+    }
+    chain = "i"
+    for j in range(1, n):
+        chain = f"array_min(filter({pos[j]}, q{j} -> q{j} > {chain}))"
+    cond = f"{chain} <= i + {n - 1 + slop}" if n > 1 else "true"
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"size(filter({pos[0]}, i -> {cond})) "
+        f"ELSE 0 END"
+    )
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: str,
     settings: PreprocessSettings = PreprocessSettings(stemming=False),
     id_col: str = "doc_id",
+    slop: int = 0,
 ) -> DataFrame:
-    """(id, n_occ): documents containing the phrase (adjacent tokens
-    after preprocessing), with occurrence counts; n_occ > 0 only."""
+    """(id, n_occ): documents containing the phrase, with occurrence
+    counts; n_occ > 0 only.  slop=0 is exact adjacency; slop>0 allows
+    up to `slop` extra tokens inside the (ordered) match span."""
     tok = make_tokenizer_udf(settings)
     from pulse_spark.text.normalize import tokens as py_tokens
 
@@ -58,11 +97,16 @@ def phrase_match(
         spark = docs.sparkSession
         return spark.createDataFrame([], f"{id_col} long, n_occ long")
     n = len(phrase_tokens)
+    count = (
+        phrase_count_expr(n, phrase_tokens)
+        if slop == 0
+        else proximity_count_expr(n, phrase_tokens, slop)
+    )
     return (
         docs.withColumn("_toks", tok(F.col("text")))
         .select(
             F.col(id_col).cast("long").alias(id_col),
-            phrase_count_expr(n, phrase_tokens).cast("long").alias("n_occ"),
+            count.cast("long").alias("n_occ"),
         )
         .where(F.col("n_occ") > 0)
     )

@@ -143,16 +143,25 @@ def topk_from_tables(
             deletes.select(id_col).distinct(), id_col, "left_anti"
         )
 
+    return bounded_topk(per_doc, k, id_col, tie_round)
+
+
+def bounded_topk(
+    per_doc: DataFrame, k: int, id_col: str, tie_round: int | None = None
+) -> DataFrame:
+    """Two-phase top-k (search.go:49-74's per-partition bounded heap +
+    global merge, relationally) over a (query_id, <id_col>, score) frame
+    in which each (query, doc) appears exactly once: phase 1 keeps ≤ k
+    rows per (query, source partition slice), so the global window never
+    sees a hot query's full candidate set in ONE task — at 100 TB a
+    single window partition over millions of matching docs is the
+    scale-killer.  The global top-k is a subset of the union of slice
+    top-ks (correctness unchanged).  Returns (query_id, rank, <id_col>,
+    score), rank 0-based, ties broken on id_col asc (over round(score,
+    tie_round) when set — the cross-engine determinism contract)."""
     order_key = (
         F.round("score", tie_round) if tie_round is not None else F.col("score")
     )
-    # Two-phase top-k (search.go:49-74's per-partition bounded heap + global
-    # merge, relationally): phase 1 keeps ≤ k rows per (query, source
-    # partition slice), so the global window never sees a hot query's full
-    # candidate set in ONE task — at 100 TB a single window partition over
-    # millions of matching docs is the scale-killer.  Each candidate doc
-    # appears exactly once after the groupBy, so the global top-k is a
-    # subset of the union of slice top-ks (correctness unchanged).
     sliced = per_doc.withColumn("_slice", F.spark_partition_id())
     w_local = Window.partitionBy("query_id", "_slice").orderBy(
         F.desc(order_key), F.asc(id_col)

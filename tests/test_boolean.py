@@ -1,0 +1,192 @@
+"""Semantics pins for boolean clause composition (query/boolean.py) and
+sloppy-phrase proximity matching (query/phrase.py slop>0) on hand-built
+corpora.  Cross-engine value-equality at sf0.01 is the DuckDB oracle
+gate's job (rows bm25_boolean_topk / phrase_slop_match)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulse_spark.config import IndexingSettings
+from pulse_spark.index.build import postings_df, terms_df
+from pulse_spark.query.boolean import boolean_topk
+from pulse_spark.query.phrase import phrase_match
+from pulse_spark.query.search import topk_from_tables
+from pulse_spark.text.normalize import PreprocessSettings
+from pulse_spark.text.udfs import doc_len_bytes
+
+SETTINGS = IndexingSettings(stopwords_removal=True, stemming=False)
+PREP = PreprocessSettings(stemming=False)
+
+
+def _corpus(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_len = docs.select(
+        "doc_id", "text", doc_len_bytes("text").cast("long").alias("doc_len")
+    )
+    p = postings_df(with_len, SETTINGS, id_col="doc_id")
+    t = terms_df(p)
+    st = with_len.agg(F.count(F.lit(1)), F.avg("doc_len")).collect()[0]
+    return p, t, int(st[0]), float(st[1])
+
+
+def _clauses(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, pos int, term string, clause string"
+    )
+
+
+def _ranked(res):
+    return [
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in sorted(res.collect(), key=lambda r: (r["query_id"], r["rank"]))
+    ]
+
+
+CORPUS = [
+    (1, "spark join merge"),
+    (2, "spark join"),
+    (3, "spark merge"),
+    (4, "join merge"),
+    (5, "merge merge"),
+]
+
+
+def test_all_should_equals_disjunctive(spark):
+    """A query of only should clauses is exactly the plain disjunctive
+    top-k (scores included)."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    res = boolean_topk(
+        p, t,
+        _clauses(spark, [(1, 0, "spark", "should"), (1, 1, "join", "should")]),
+        n, adl, k=5, id_col="doc_id", tie_round=6,
+    )
+    occ = spark.createDataFrame(
+        [(1, 0, "spark"), (1, 1, "join")], "query_id long, pos int, term string"
+    )
+    plain = topk_from_tables(p, t, occ, n, adl, k=5, id_col="doc_id", tie_round=6)
+    assert _ranked(res) == _ranked(plain)
+
+
+def test_must_requires_and_scores(spark):
+    """must restricts candidates to docs containing every corpus-present
+    must term AND contributes to the score: must{spark}+should{merge}
+    keeps only spark-docs, scored as spark+merge."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    res = boolean_topk(
+        p, t,
+        _clauses(spark, [(1, 0, "spark", "must"), (1, 1, "merge", "should")]),
+        n, adl, k=5, id_col="doc_id", tie_round=6,
+    )
+    got = _ranked(res)
+    assert {r[2] for r in got} == {1, 2, 3}  # spark-containing docs only
+    occ = spark.createDataFrame(
+        [(1, 0, "spark"), (1, 1, "merge")], "query_id long, pos int, term string"
+    )
+    both = {
+        r[2]: r[3]
+        for r in _ranked(
+            topk_from_tables(p, t, occ, n, adl, k=5, id_col="doc_id", tie_round=6)
+        )
+    }
+    for _, _, d, s in got:
+        assert s == pytest.approx(both[d], rel=1e-12)
+
+
+def test_must_not_vetoes(spark):
+    """must_not removes any doc containing the banned term and never
+    contributes to scores; surviving docs score identically to the same
+    query without the must_not clause."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    res = boolean_topk(
+        p, t,
+        _clauses(
+            spark,
+            [(1, 0, "spark", "should"), (1, 1, "join", "should"),
+             (1, 2, "merge", "must_not")],
+        ),
+        n, adl, k=5, id_col="doc_id", tie_round=6,
+    )
+    got = _ranked(res)
+    assert {r[2] for r in got} == {2}  # docs 1,3,4,5 contain merge
+    occ = spark.createDataFrame(
+        [(1, 0, "spark"), (1, 1, "join")], "query_id long, pos int, term string"
+    )
+    plain = {
+        r[2]: r[3]
+        for r in _ranked(
+            topk_from_tables(p, t, occ, n, adl, k=5, id_col="doc_id", tie_round=6)
+        )
+    }
+    assert got[0][3] == pytest.approx(plain[2], rel=1e-12)
+
+
+def test_boolean_edges(spark):
+    """Pure-negative queries match nothing; an absent must term doesn't
+    veto (corpus-present convention); an invalid clause raises."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    negative = boolean_topk(
+        p, t, _clauses(spark, [(1, 0, "spark", "must_not")]),
+        n, adl, k=5, id_col="doc_id",
+    )
+    assert negative.count() == 0
+    absent_must = boolean_topk(
+        p, t,
+        _clauses(spark, [(1, 0, "zzz", "must"), (1, 1, "spark", "should")]),
+        n, adl, k=5, id_col="doc_id", tie_round=6,
+    )
+    assert {r[2] for r in _ranked(absent_must)} == {1, 2, 3}
+    with pytest.raises(ValueError, match="clause"):
+        boolean_topk(
+            p, t, _clauses(spark, [(1, 0, "spark", "filter")]),
+            n, adl, k=5, id_col="doc_id",
+        ).collect()
+
+
+def _occs(spark, df, phrase, slop):
+    return {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_match(df, phrase, PREP, slop=slop).collect()
+    }
+
+
+def test_sloppy_phrase_semantics(spark):
+    """slop widens the ordered match span: slop=0 is exact adjacency,
+    slop=s allows up to s extra tokens between (ordered) phrase tokens;
+    reversed order never matches; counts are per valid start."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark join now"),          # adjacent
+            (2, "spark big join"),          # 1 intruder
+            (3, "spark big fast join"),     # 2 intruders
+            (4, "join spark"),              # wrong order
+            (5, "spark spark join"),        # two valid starts at slop>=1
+        ],
+        "doc_id long, text string",
+    )
+    assert _occs(spark, df, "spark join", 0) == {1: 1, 5: 1}
+    assert _occs(spark, df, "spark join", 1) == {1: 1, 2: 1, 5: 2}
+    assert _occs(spark, df, "spark join", 2) == {1: 1, 2: 1, 3: 1, 5: 2}
+    # slop=0 path and proximity path agree on the exact-adjacency corpus
+    assert _occs(spark, df, "spark join", 0) == {
+        k: v for k, v in _occs(spark, df, "spark join", 0).items()
+    }
+
+
+def test_sloppy_three_token_greedy_exact(spark):
+    """3-token chain: greedy earliest-next is exact for existence within
+    the span bound; span counting includes all intruders."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark join merge"),             # span 2 = n-1: slop 0
+            (2, "spark big join merge"),         # span 3: slop 1
+            (3, "spark join big big merge"),     # span 4: slop 2
+            (4, "spark merge join"),             # out of order
+        ],
+        "doc_id long, text string",
+    )
+    assert _occs(spark, df, "spark join merge", 0) == {1: 1}
+    assert _occs(spark, df, "spark join merge", 1) == {1: 1, 2: 1}
+    assert _occs(spark, df, "spark join merge", 2) == {1: 1, 2: 1, 3: 1}
+    assert 4 not in _occs(spark, df, "spark join merge", 5)

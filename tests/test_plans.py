@@ -150,6 +150,34 @@ def test_wildcard_plans_are_scale_safe(spark):
     assert "SortMergeJoin" not in eplan, eplan
 
 
+def test_boolean_and_slop_plans_are_scale_safe(spark):
+    """Boolean composition: ONE postings aggregation folds score +
+    must-coverage + veto (no second scan or join per clause kind),
+    clause table broadcast, hash joins only.  Sloppy phrase: a single
+    corpus projection — zero joins, zero shuffles."""
+    from pulse_spark import harness
+
+    sf = "/root/testdata/sf0.001"
+    bool_plan = _plan(harness.FULLTEXT_QUERIES["bm25_boolean_topk"](spark, sf))
+    assert "CartesianProduct" not in bool_plan
+    assert "BroadcastNestedLoopJoin" not in bool_plan
+    assert "SortMergeJoin" not in bool_plan
+    # the BIG table (the postings cache — the only scan carrying both
+    # doc_id and tf) is read ONCE: a plan that re-scanned postings per
+    # clause kind would show one such scan per clause.  (Column-pruned
+    # [term, tf] scans are the lexicon cache's own build lineage.)
+    import re
+
+    posting_scans = re.findall(
+        r"InMemoryTableScan \[[^\]]*doc_id#[^\]]*tf#", bool_plan
+    )
+    assert len(posting_scans) == 1, bool_plan
+
+    slop_plan = _plan(harness.FULLTEXT_QUERIES["phrase_slop_match"](spark, sf))
+    assert "Exchange" not in slop_plan, slop_plan
+    assert "Join" not in slop_plan, slop_plan
+
+
 def test_salted_layout_splits_hot_term(spark, tmp_path):
     """North-rule salted repartition-by-term: with a term carrying ~25%
     of all postings, the unsalted layout's biggest reducer task must be
