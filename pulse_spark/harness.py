@@ -253,6 +253,48 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _explain_sql() -> str:
+    """Per-term BM25 explanation of the top-k winners: the same scored/
+    window pipeline as _topk_sql, but the per-(query,doc,term)
+    contributions are kept and re-joined to the winners."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+per_term AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         CAST(max(tf.tf) AS BIGINT) AS tf,
+         CAST(max(df.df) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS occurrences,
+         max(ln(s.n_docs / df.df)) AS idf_raw,
+         sum({part} * ln(s.n_docs / df.df)) AS term_raw
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT query_id, doc_id, sum(term_raw) AS raw_score
+  FROM per_term GROUP BY 1, 2
+),
+topk AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+         round(raw_score, 6) AS score
+  FROM scored
+  WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+  QUALIFY row_number() OVER w <= {K}
+)
+SELECT t.query_id, t.doc_id, t.rank, t.score, p.term, p.tf, p.df,
+       p.occurrences, round(p.idf_raw, 6) AS idf,
+       round(p.term_raw, 6) AS term_score
+FROM topk t
+JOIN per_term p ON p.query_id = t.query_id AND p.doc_id = t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # named operators: fulltext core
 # ---------------------------------------------------------------------------
@@ -733,6 +775,35 @@ def q_phrase_slop_match(spark, sf_dir):
     )
 
 
+def q_bm25_explain(spark, sf_dir):
+    """Per-term score explanation of the BM25 top-k winners (query/
+    explain.py; Lucene's `explain` model): one row per (query, winning
+    doc, matched term) with tf/df/idf/occurrences and the term's summed
+    contribution — sum(term_score) per doc equals the doc's score."""
+    from pulse_spark.query.explain import explain_topk
+
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    res = explain_topk(p, t, occ, n, adl, k=K, metric="BM25",
+                       id_col="doc_id", tie_round=6)
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("occurrences").cast("long").alias("occurrences"),
+        F.round("idf", 6).alias("idf"),
+        F.round("term_score", 6).alias("term_score"),
+    )
+
+
 FULLTEXT_QUERIES = {
     "corpus_stats": q_corpus_stats,
     "doc_stats": q_doc_stats,
@@ -757,6 +828,7 @@ FULLTEXT_QUERIES = {
     "bm25_fuzzy_topk": q_bm25_fuzzy_topk,
     "bm25_boolean_topk": q_bm25_boolean_topk,
     "phrase_slop_match": q_phrase_slop_match,
+    "bm25_explain": q_bm25_explain,
 }
 
 
@@ -1163,5 +1235,6 @@ SELECT term, df, max_tf FROM df
     ),
     "bm25_boolean_topk": _boolean_oracle_sql(),
     "phrase_slop_match": _phrase_slop_oracle_sql(),
+    "bm25_explain": _explain_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -217,3 +217,19 @@ def test_salted_layout_splits_hot_term(spark, tmp_path):
     unsalted, salted = max_task_rows(1), max_task_rows(4)
     assert unsalted >= n  # the hot term concentrates in one task
     assert salted * 2.5 <= unsalted, (unsalted, salted)
+
+
+def test_explain_plan_is_scale_safe(spark):
+    """Score explanation (query/explain.py): the winners frame (k·q
+    rows) joins back BROADCAST — a sort-merge there would shuffle the
+    per-term matched set by (query,doc) a second time; the per-term
+    pass reads the term-pruned postings, not the corpus."""
+    from pulse_spark import harness
+
+    plan = _plan(
+        harness.FULLTEXT_QUERIES["bm25_explain"](spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
