@@ -725,6 +725,46 @@ def q_bm25_fuzzy_topk(spark, sf_dir):
     )
 
 
+# spell-suggestion probes (query/wildcard.py suggest_terms): distance-1
+# and distance-2 misspellings, a duplicated occurrence, an in-lexicon
+# token (no suggestions), and a hopeless probe (no candidates)
+SUGGEST_PROBES: list[tuple[int, int, str]] = [
+    (1, 0, "mrge"),                   # -> merge (1)
+    (2, 0, "jion"),                   # -> join (2)
+    (3, 0, "windoww"),                # -> window (1)
+    (4, 0, "sprk"),                   # -> spark (1), sort (2), ...
+    (5, 0, "spark"),                  # in lexicon -> no rows
+    (6, 0, "zzzzzzzz"),               # no candidate within 2 edits
+    (7, 0, "qury"), (7, 1, "qury"),   # duplicated occurrence -> 2x rows
+]
+SUGGEST_MAX_EDITS = 2
+SUGGEST_N = 3
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean spell suggestions (query/wildcard.py suggest_terms;
+    Lucene DirectSpellChecker SUGGEST_WHEN_NOT_IN_INDEX): top-3 lexicon
+    terms within 2 edits per absent query token, ranked (distance asc,
+    df desc, term asc)."""
+    from pulse_spark.query.wildcard import suggest_terms
+
+    qt = spark.createDataFrame(
+        SUGGEST_PROBES, "query_id long, pos int, token string"
+    )
+    res = suggest_terms(
+        _terms(spark, sf_dir), qt,
+        max_edits=SUGGEST_MAX_EDITS, n_suggestions=SUGGEST_N,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("pos").cast("int"),
+        "token", "suggestion",
+        F.col("distance").cast("int"),
+        F.col("df").cast("long"),
+        F.col("srank").cast("int"),
+    )
+
+
 # boolean clause sets (query/boolean.py): veto, duplicate-must scoring,
 # pure disjunction, conjunction, absent-must (doesn't veto), pure
 # negative (matches nothing)
@@ -829,6 +869,7 @@ FULLTEXT_QUERIES = {
     "bm25_boolean_topk": q_bm25_boolean_topk,
     "phrase_slop_match": q_phrase_slop_match,
     "bm25_explain": q_bm25_explain,
+    "spell_suggest": q_spell_suggest,
 }
 
 
@@ -1109,6 +1150,30 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _suggest_oracle_sql() -> str:
+    """Spell-suggestion twin: lexicon candidates within SUGGEST_MAX_EDITS,
+    occurrences whose best candidate is distance 0 (in-lexicon) vetoed,
+    top SUGGEST_N per occurrence by (distance, df desc, term)."""
+    rows = ", ".join(f"({qid}, {pos}, '{t}')" for qid, pos, t in SUGGEST_PROBES)
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE},
+p(query_id, pos, token) AS (VALUES {rows}),
+cand AS (
+  SELECT p.query_id, p.pos, p.token, df.term AS suggestion,
+         CAST(levenshtein(df.term, p.token) AS INT) AS distance, df.df
+  FROM p JOIN df ON levenshtein(df.term, p.token) <= {SUGGEST_MAX_EDITS}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(pos AS INT) AS pos,
+       token, suggestion, distance, df,
+       CAST(row_number() OVER w AS INT) AS srank
+FROM cand
+WINDOW w AS (PARTITION BY query_id, pos
+             ORDER BY distance ASC, df DESC, suggestion ASC)
+QUALIFY min(distance) OVER (PARTITION BY query_id, pos) > 0
+    AND row_number() OVER w <= {SUGGEST_N}
+"""
+
+
 def _boolean_oracle_sql() -> str:
     """must/should score; must_not contributes nothing and vetoes;
     candidates need every corpus-present distinct must term (absent
@@ -1236,5 +1301,6 @@ SELECT term, df, max_tf FROM df
     "bm25_boolean_topk": _boolean_oracle_sql(),
     "phrase_slop_match": _phrase_slop_oracle_sql(),
     "bm25_explain": _explain_sql(),
+    "spell_suggest": _suggest_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

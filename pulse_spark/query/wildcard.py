@@ -174,3 +174,69 @@ def fuzzy_topk(
         postings, terms, expanded, n_docs, adl, k, metric, id_col,
         tie_round, term_buckets,
     )
+
+
+def suggest_terms(
+    terms: DataFrame,
+    q_tokens: DataFrame,
+    max_edits: int = 2,
+    n_suggestions: int = 3,
+) -> DataFrame:
+    """Did-you-mean spell suggestions (Lucene DirectSpellChecker's
+    SUGGEST_WHEN_NOT_IN_INDEX mode): for each query token occurrence
+    ABSENT from the lexicon, the `n_suggestions` closest lexicon terms
+    ranked (edit distance asc, df desc, term asc).  Tokens present in
+    the lexicon (a distance-0 candidate exists) yield no rows — they
+    are not misspellings.
+
+    q_tokens: (query_id, pos, token), collected driver-side (a query
+    set is tiny by contract).  Returns (query_id, pos, token,
+    suggestion, distance, df, srank), srank 1-based.
+
+    Scale shape: like fuzzy_topk, ONE predicated lexicon scan evaluates
+    every probe's `levenshtein` JVM-side; no join ever touches the
+    lexicon (the tiny probe table is broadcast onto the surviving
+    candidates), and the in-lexicon veto is a per-occurrence window min
+    over those candidates — never a second scan.
+    """
+    spark = terms.sparkSession
+    out_schema = (
+        "query_id long, pos int, token string, suggestion string,"
+        " distance int, df long, srank int"
+    )
+    probes = [(r["query_id"], r["pos"], r["token"]) for r in q_tokens.collect()]
+    if not probes:
+        return spark.createDataFrame([], out_schema)
+    probe_strs = sorted({p for _, _, p in probes})
+    dists = {p: F.levenshtein(F.col("term"), F.lit(p)) for p in probe_strs}
+    cand = terms.select("term", "df").where(
+        reduce(or_, [d <= max_edits for d in dists.values()])
+    )
+    matched = F.array_compact(F.array(*[
+        F.when(
+            d <= max_edits,
+            F.struct(F.lit(p).alias("token"), d.cast("int").alias("distance")),
+        )
+        for p, d in dists.items()
+    ]))
+    per_probe = cand.select(
+        "term", "df", F.explode(matched).alias("m")
+    ).select("term", "df", "m.token", "m.distance")
+    occ = spark.createDataFrame(probes, "query_id long, pos int, token string")
+    per_occ = per_probe.join(F.broadcast(occ), "token")
+    w = Window.partitionBy("query_id", "pos")
+    ranked = (
+        per_occ.withColumn("_min_d", F.min("distance").over(w))
+        .where(F.col("_min_d") > 0)
+        .withColumn(
+            "srank",
+            F.row_number().over(
+                w.orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            ),
+        )
+        .where(F.col("srank") <= n_suggestions)
+    )
+    return ranked.select(
+        "query_id", "pos", "token", F.col("term").alias("suggestion"),
+        "distance", "df", "srank",
+    )

@@ -233,3 +233,20 @@ def test_explain_plan_is_scale_safe(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_suggest_plan_is_scale_safe(spark):
+    """Spell suggestions (query/wildcard.py suggest_terms): ONE
+    predicated lexicon scan (levenshtein expressions, never a join
+    against the lexicon), tiny probe table broadcast, no cartesian —
+    O(lexicon scan) at any corpus size."""
+    from pulse_spark import harness
+
+    plan = _plan(
+        harness.FULLTEXT_QUERIES["spell_suggest"](spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BroadcastHashJoin" in plan

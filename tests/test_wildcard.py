@@ -175,3 +175,79 @@ def test_missing_probes_drop_out(spark):
         k=3, max_edits=1, id_col="doc_id",
     )
     assert fz.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# spell suggestions (suggest_terms)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_only_for_absent_tokens(spark):
+    """In-lexicon tokens are not misspellings: no suggestion rows; an
+    absent token gets the closest lexicon terms ranked (distance asc,
+    df desc, term asc)."""
+    from pulse_spark.query.wildcard import suggest_terms
+
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "spark spark merge"),
+            (2, "spark join"),
+            (3, "merge join"),
+        ],
+    )
+    res = suggest_terms(
+        t,
+        _probes(spark, [(1, 0, "spark"), (2, 0, "sprk"), (3, 0, "zzzz")],
+                "token"),
+        max_edits=2, n_suggestions=3,
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert 1 not in by_q           # in-lexicon token vetoed
+    assert 3 not in by_q           # nothing within 2 edits
+    sugg = sorted(by_q[2], key=lambda r: r["srank"])
+    assert [s["suggestion"] for s in sugg] == ["spark"]
+    assert sugg[0]["distance"] == 1 and sugg[0]["df"] == 2
+
+
+def test_suggest_ranking_distance_then_df_then_term(spark):
+    """distance beats df; at equal distance higher df wins; at equal
+    (distance, df) term-asc breaks the tie — and n_suggestions cuts."""
+    from pulse_spark.query.wildcard import suggest_terms
+
+    # lexicon: merge(df 3), marge(df 2), merged(df 1)
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "merge marge merged"),
+            (2, "merge marge"),
+            (3, "merge"),
+        ],
+    )
+    res = suggest_terms(
+        t, _probes(spark, [(1, 0, "mrge")], "token"),
+        max_edits=2, n_suggestions=2,
+    ).collect()
+    ranked = sorted(res, key=lambda r: r["srank"])
+    # mrge: merge=1 (df 3), marge=1 (df 2), merged=2 — the distance-1
+    # pair wins, ordered df desc; n_suggestions=2 cuts merged entirely
+    assert [(r["suggestion"], r["distance"]) for r in ranked] == [
+        ("merge", 1), ("marge", 1),
+    ]
+
+
+def test_suggest_per_occurrence_rows(spark):
+    """A token appearing at two positions yields suggestion rows for
+    BOTH occurrences (per-occurrence semantics, like every query op)."""
+    from pulse_spark.query.wildcard import suggest_terms
+
+    p, t, n, adl = _corpus(spark, [(1, "spark join"), (2, "spark")])
+    res = suggest_terms(
+        t, _probes(spark, [(1, 0, "sprk"), (1, 1, "sprk")], "token"),
+        max_edits=1, n_suggestions=3,
+    ).collect()
+    assert sorted((r["pos"], r["suggestion"]) for r in res) == [
+        (0, "spark"), (1, "spark"),
+    ]
