@@ -725,6 +725,35 @@ def q_bm25_fuzzy_topk(spark, sf_dir):
     )
 
 
+COLLAPSE_MOD = 100  # transcripts convention: conv_id = doc_id % 100
+
+
+def q_bm25_collapse_topk(spark, sf_dir):
+    """Field-collapsed top-k (query/collapse.py; ES field collapsing):
+    at most one (best) doc per conversation — the collapse key is the
+    transcripts convention conv_id = doc_id % 100, evaluated as an
+    expression (zero-join)."""
+    from pulse_spark.query.collapse import collapse_topk
+
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    res = collapse_topk(
+        p, t, occ, n, adl, group_col=F.col("doc_id") % COLLAPSE_MOD,
+        k=K, metric="BM25", id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("group").cast("long").alias("conv_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # spell-suggestion probes (query/wildcard.py suggest_terms): distance-1
 # and distance-2 misspellings, a duplicated occurrence, an in-lexicon
 # token (no suggestions), and a hopeless probe (no candidates)
@@ -870,6 +899,7 @@ FULLTEXT_QUERIES = {
     "phrase_slop_match": q_phrase_slop_match,
     "bm25_explain": q_bm25_explain,
     "spell_suggest": q_spell_suggest,
+    "bm25_collapse_topk": q_bm25_collapse_topk,
 }
 
 
@@ -1150,6 +1180,37 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _collapse_oracle_sql() -> str:
+    """Collapsed top-k twin: per (query, conv) the best doc survives
+    (round(score,6) desc, doc_id asc — the engine's tie rule), then the
+    standard top-k window over the collapsed list."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, doc_id, doc_id % {COLLAPSE_MOD} AS conv_id, raw_score
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id, doc_id % {COLLAPSE_MOD}
+    ORDER BY round(raw_score, 6) DESC, doc_id ASC) = 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       CAST(conv_id AS BIGINT) AS conv_id,
+       round(raw_score, 6) AS score
+FROM best
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
 def _suggest_oracle_sql() -> str:
     """Spell-suggestion twin: lexicon candidates within SUGGEST_MAX_EDITS,
     occurrences whose best candidate is distance 0 (in-lexicon) vetoed,
@@ -1302,5 +1363,6 @@ SELECT term, df, max_tf FROM df
     "phrase_slop_match": _phrase_slop_oracle_sql(),
     "bm25_explain": _explain_sql(),
     "spell_suggest": _suggest_oracle_sql(),
+    "bm25_collapse_topk": _collapse_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -110,6 +110,30 @@ def topk_from_tables(
     across engines) tie-break deterministically on id_col — used by the
     cross-engine oracle harness.
     """
+    per_doc = scored_candidates(
+        postings, terms, q_occurrences, n_docs, adl, metric=metric,
+        conjunctive=conjunctive, id_col=id_col, deletes=deletes,
+        doc_filter=doc_filter,
+    )
+    return bounded_topk(per_doc, k, id_col, tie_round)
+
+
+def scored_candidates(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_occurrences: DataFrame,
+    n_docs: int,
+    adl: float,
+    metric: str = "BM25",
+    conjunctive: bool = False,
+    id_col: str = "doc_no",
+    deletes: DataFrame | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """The scoring stage of topk_from_tables without the top-k cut:
+    every candidate doc's total score as (query_id, <id_col>, score)
+    — one row per (query, matching doc).  Shared by top-k, collapse,
+    and anything else that ranks the candidate set differently."""
     if metric.upper() not in ("BM25", "TFIDF"):
         raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
     # global-term lookup: inner join drops absent terms (search.go:29-46)
@@ -142,8 +166,7 @@ def topk_from_tables(
         per_doc = per_doc.join(
             deletes.select(id_col).distinct(), id_col, "left_anti"
         )
-
-    return bounded_topk(per_doc, k, id_col, tie_round)
+    return per_doc.select("query_id", id_col, "score")
 
 
 def bounded_topk(

@@ -250,3 +250,20 @@ def test_suggest_plan_is_scale_safe(spark):
     assert "SortMergeJoin" not in plan
     assert "levenshtein" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_collapse_plan_is_scale_safe(spark):
+    """Field collapsing (query/collapse.py): the collapse key is an
+    expression (zero-join — a doc->group table would shuffle the
+    candidate set a second time), the per-group best + final cut are
+    windows over candidates only, all joins hash-based."""
+    from pulse_spark import harness
+
+    plan = _plan(
+        harness.FULLTEXT_QUERIES["bm25_collapse_topk"](
+            spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
