@@ -829,6 +829,62 @@ def q_bm25_boolean_topk(spark, sf_dir):
     )
 
 
+# minimum_should_match clause sets: q1/q2 pure-should msm cut; q3 must +
+# should msm; q4 pins the literal count (absent 'zzz' makes msm=2
+# unreachable -> no rows)
+MSM_QUERIES: list[tuple[int, int, str, str]] = [
+    (1, 0, "spark", "should"), (1, 1, "join", "should"), (1, 2, "merge", "should"),
+    (2, 0, "window", "should"), (2, 1, "scan", "should"), (2, 2, "table", "should"),
+    (3, 0, "hash", "must"), (3, 1, "vector", "should"), (3, 2, "key", "should"),
+    (4, 0, "dup", "should"), (4, 1, "zzz", "should"),
+]
+MSM = 2
+
+
+def q_bm25_msm_topk(spark, sf_dir):
+    """minimum_should_match (query/boolean.py min_should_match; Lucene
+    BooleanQuery.setMinimumNumberShouldMatch): candidates must match at
+    least MSM distinct should terms — the count is literal, so absent
+    should terms can make a query unsatisfiable."""
+    from pulse_spark.query.boolean import boolean_topk
+
+    qc = spark.createDataFrame(
+        MSM_QUERIES, "query_id long, pos int, term string, clause string"
+    )
+    res = boolean_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qc,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        id_col="doc_id", tie_round=6, min_should_match=MSM,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_hit_counts(spark, sf_dir):
+    """Total-hits header (query/search.py hit_stats; Lucene
+    TotalHitCountCollector / ES hits.total + max_score): exact per-query
+    candidate count + best score, no ranked list materialized."""
+    from pulse_spark.query.search import hit_stats
+
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    res = hit_stats(p, t, occ, n, adl, metric="BM25",
+                    id_col="doc_id", tie_round=6)
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.round("max_score", 6).alias("max_score"),
+    )
+
+
 PHRASE_SLOP = 2
 
 
@@ -900,6 +956,8 @@ FULLTEXT_QUERIES = {
     "bm25_explain": q_bm25_explain,
     "spell_suggest": q_spell_suggest,
     "bm25_collapse_topk": q_bm25_collapse_topk,
+    "bm25_msm_topk": q_bm25_msm_topk,
+    "hit_counts": q_hit_counts,
 }
 
 
@@ -1274,6 +1332,67 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _msm_oracle_sql() -> str:
+    """minimum_should_match twin of the boolean oracle: the should-hit
+    count is literal (absent should terms never match)."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    rows = ", ".join(
+        f"({qid}, {pos}, '{t}', '{c}')" for qid, pos, t, c in MSM_QUERIES
+    )
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+q(query_id, pos, term, clause) AS (VALUES {rows}),
+nm AS (
+  SELECT q.query_id, count(DISTINCT q.term) AS n_must
+  FROM q JOIN df ON df.term = q.term WHERE q.clause = 'must' GROUP BY 1
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(CASE WHEN q.clause <> 'must_not'
+             THEN {part} * ln(s.n_docs / df.df) ELSE 0 END) AS raw_score,
+         count(DISTINCT CASE WHEN q.clause = 'must' THEN q.term END)
+           AS must_hits,
+         count(DISTINCT CASE WHEN q.clause = 'should' THEN q.term END)
+           AS should_hits,
+         max(CASE WHEN q.clause = 'must_not' THEN 1 ELSE 0 END) AS banned
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+),
+f AS (
+  SELECT sc.query_id, sc.doc_id, sc.raw_score
+  FROM scored sc LEFT JOIN nm ON nm.query_id = sc.query_id
+  WHERE sc.must_hits = coalesce(nm.n_must, 0) AND sc.banned = 0
+    AND sc.should_hits >= {MSM}
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM f
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
+def _hit_counts_oracle_sql() -> str:
+    """Exact per-query hit count + best (rounded) score over the full
+    candidate set — the scored CTE of _topk_sql without the cut."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(round(raw_score, 6)) AS max_score
+FROM scored GROUP BY 1
+"""
+
+
 def _phrase_slop_oracle_sql() -> str:
     """Greedy earliest-next proximity chain, mirroring
     query/phrase.py::proximity_count_expr token for token."""
@@ -1364,5 +1483,7 @@ SELECT term, df, max_tf FROM df
     "bm25_explain": _explain_sql(),
     "spell_suggest": _suggest_oracle_sql(),
     "bm25_collapse_topk": _collapse_oracle_sql(),
+    "bm25_msm_topk": _msm_oracle_sql(),
+    "hit_counts": _hit_counts_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -44,6 +44,7 @@ def boolean_topk(
     tie_round: int | None = None,
     deletes: DataFrame | None = None,
     doc_filter: DataFrame | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k under boolean clause composition.
 
@@ -51,6 +52,13 @@ def boolean_topk(
     OCCURRENCE, clause in {'must', 'should', 'must_not'} (duplicate
     must/should occurrences score per occurrence, like every query path
     in this engine).  Returns (query_id, rank, <id_col>, score).
+
+    min_should_match: candidates must match at least this many DISTINCT
+    should terms (Lucene's minimumShouldMatch).  Unlike the must
+    convention, the count is literal — a should term absent from the
+    corpus never matches, so msm greater than the number of
+    corpus-present should terms matches nothing (Lucene's behavior:
+    absent optional clauses simply never satisfy the minimum).
     """
     bad = q_clauses.where(~F.col("clause").isin(*CLAUSES)).limit(1).collect()
     if bad:
@@ -69,6 +77,9 @@ def boolean_topk(
         F.count_distinct(
             F.when(F.col("clause") == "must", F.col("term"))
         ).alias("_must_hits"),
+        F.count_distinct(
+            F.when(F.col("clause") == "should", F.col("term"))
+        ).alias("_should_hits"),
         F.max((F.col("clause") == "must_not").cast("int")).alias("_banned"),
     )
     # corpus-present distinct must terms per query (absent terms dropped
@@ -81,6 +92,7 @@ def boolean_topk(
         .where(
             (F.col("_must_hits") == F.coalesce(F.col("_n_must"), F.lit(0)))
             & (F.col("_banned") == 0)
+            & (F.col("_should_hits") >= min_should_match)
         )
     )
     if deletes is not None:

@@ -169,6 +169,40 @@ def scored_candidates(
     return per_doc.select("query_id", id_col, "score")
 
 
+def hit_stats(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_occurrences: DataFrame,
+    n_docs: int,
+    adl: float,
+    metric: str = "BM25",
+    conjunctive: bool = False,
+    id_col: str = "doc_no",
+    tie_round: int | None = None,
+    deletes: DataFrame | None = None,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Total-hits response header (Lucene TotalHitCountCollector / ES
+    `hits.total` + `max_score`): per query the exact candidate count and
+    the best score, WITHOUT materializing a ranked list.  One partial
+    aggregation over the scored candidates — queries matching nothing
+    produce no row (there is no count to report).
+
+    Returns (query_id, n_hits, max_score)."""
+    per_doc = scored_candidates(
+        postings, terms, q_occurrences, n_docs, adl, metric=metric,
+        conjunctive=conjunctive, id_col=id_col, deletes=deletes,
+        doc_filter=doc_filter,
+    )
+    score = (
+        F.round("score", tie_round) if tie_round is not None else F.col("score")
+    )
+    return per_doc.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max(score).alias("max_score"),
+    )
+
+
 def bounded_topk(
     per_doc: DataFrame, k: int, id_col: str, tie_round: int | None = None
 ) -> DataFrame:

@@ -190,3 +190,71 @@ def test_sloppy_three_token_greedy_exact(spark):
     assert _occs(spark, df, "spark join merge", 1) == {1: 1, 2: 1}
     assert _occs(spark, df, "spark join merge", 2) == {1: 1, 2: 1, 3: 1}
     assert 4 not in _occs(spark, df, "spark join merge", 5)
+
+
+def test_min_should_match_cuts_candidates(spark):
+    """msm=2 over three should terms keeps only docs matching >= 2
+    distinct ones; msm=0 is the default behavior unchanged."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    clauses = _clauses(spark, [
+        (1, 0, "spark", "should"), (1, 1, "join", "should"),
+        (1, 2, "merge", "should"),
+    ])
+    res2 = boolean_topk(p, t, clauses, n, adl, k=5, id_col="doc_id",
+                        tie_round=6, min_should_match=2)
+    # docs 1 (all three), 2 (spark+join), 3 (spark+merge), 4 (join+merge)
+    assert sorted(r["doc_id"] for r in res2.collect()) == [1, 2, 3, 4]
+    res0 = boolean_topk(p, t, clauses, n, adl, k=5, id_col="doc_id",
+                        tie_round=6)
+    assert sorted(r["doc_id"] for r in res0.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_min_should_match_literal_count_absent_terms(spark):
+    """msm counts literally: an absent should term never matches, so
+    msm=2 over one present + one absent term matches nothing (Lucene's
+    behavior), while the same query at msm=1 still matches."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    clauses = _clauses(spark, [
+        (1, 0, "spark", "should"), (1, 1, "zzzabsent", "should"),
+    ])
+    res = boolean_topk(p, t, clauses, n, adl, k=5, id_col="doc_id",
+                       min_should_match=2)
+    assert res.collect() == []
+    res1 = boolean_topk(p, t, clauses, n, adl, k=5, id_col="doc_id",
+                        min_should_match=1)
+    assert sorted(r["doc_id"] for r in res1.collect()) == [1, 2, 3]
+
+
+def test_msm_interacts_with_must_and_must_not(spark):
+    """must still required, must_not still vetoes, msm applies to the
+    should subset only."""
+    p, t, n, adl = _corpus(spark, CORPUS)
+    clauses = _clauses(spark, [
+        (1, 0, "spark", "must"), (1, 1, "join", "should"),
+        (1, 2, "merge", "should"), (1, 3, "zzz", "should"),
+    ])
+    # must=spark AND >=1 of {join, merge}: docs 1 (both), 2 (join), 3 (merge)
+    res = boolean_topk(p, t, clauses, n, adl, k=5, id_col="doc_id",
+                       min_should_match=1)
+    assert sorted(r["doc_id"] for r in res.collect()) == [1, 2, 3]
+
+
+def test_hit_stats_counts_and_max_score(spark):
+    """hit_stats: exact candidate count + best score per query; a query
+    matching nothing yields no row; count equals the unbounded top-k
+    length and max_score its rank-0 score."""
+    from pulse_spark.query.search import hit_stats
+
+    p, t, n, adl = _corpus(spark, CORPUS)
+    occ = spark.createDataFrame(
+        [(1, 0, "spark"), (1, 1, "merge"), (2, 0, "zzzabsent")],
+        "query_id long, pos int, term string",
+    )
+    hs = {r["query_id"]: r for r in
+          hit_stats(p, t, occ, n, adl, id_col="doc_id", tie_round=6).collect()}
+    assert set(hs) == {1}
+    full = topk_from_tables(p, t, occ, n, adl, k=100, id_col="doc_id",
+                            tie_round=6).collect()
+    assert hs[1]["n_hits"] == len(full)
+    best = round(max(r["score"] for r in full), 6)
+    assert abs(hs[1]["max_score"] - best) < 1e-9
