@@ -179,6 +179,51 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Per-term score breakdown of the top-k winners (query/explain.py):
+    one TSV line per (query, doc, term) —
+    query_id, rank, doc_no, score, term, tf, df, occurrences, idf,
+    term_score — sum(term_score) over a doc's lines equals its score."""
+    spark = _spark(args)
+    from pulse_spark.index.persist import load_index
+    from pulse_spark.query.explain import explain_search
+
+    idx = load_index(spark, args.index)
+    qdf = spark.createDataFrame(
+        _read_queries_arg(args), "query_id long, text string"
+    )
+    rows = explain_search(idx, qdf, k=args.k, metric=args.metric).collect()
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"], r["term"])):
+        print(f"{r['query_id']}\t{r['rank']}\t{r['doc_no']}\t"
+              f"{r['score']:.6f}\t{r['term']}\t{r['tf']}\t{r['df']}\t"
+              f"{r['occurrences']}\t{r['idf']:.6f}\t{r['term_score']:.6f}")
+    return 0
+
+
+def cmd_suggest(args) -> int:
+    """Did-you-mean suggestions (query/wildcard.py suggest_terms): one
+    TSV line per suggestion — query_id, pos, token, suggestion,
+    distance, df — for query tokens absent from the index lexicon."""
+    spark = _spark(args)
+    from pulse_spark.index.persist import load_index
+    from pulse_spark.query.wildcard import suggest_terms
+    from pulse_spark.text.normalize import tokens as py_tokens
+
+    idx = load_index(spark, args.index)
+    probes = []
+    for qid, text in _read_queries_arg(args):
+        for pos, t in enumerate(py_tokens(text, idx.settings.preprocess)):
+            probes.append((qid, pos, t))
+    qt = spark.createDataFrame(probes, "query_id long, pos int, token string")
+    rows = suggest_terms(
+        idx.terms, qt, max_edits=args.max_edits, n_suggestions=args.n
+    ).collect()
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["pos"], r["srank"])):
+        print(f"{r['query_id']}\t{r['pos']}\t{r['token']}\t"
+              f"{r['suggestion']}\t{r['distance']}\t{r['df']}")
+    return 0
+
+
 def cmd_merge(args) -> int:
     """Merge two or more committed indexes (index/merge.py): batch
     ingestion without re-tokenizing — touches index artifacts only."""
@@ -372,6 +417,26 @@ def main(argv=None) -> int:
                         "recommended for long-lived servers on hosts with "
                         "lazy memory backing")
     s.set_defaults(fn=cmd_search)
+
+    ex = sub.add_parser("explain", help="per-term score breakdown of the "
+                                        "top-k winners")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--query", default=None)
+    ex.add_argument("--queries", default=None, help="TSV: query_id\\ttext")
+    ex.add_argument("-k", type=int, default=10)
+    ex.add_argument("--metric", default="BM25",
+                    choices=["BM25", "TFIDF", "bm25", "tfidf"])
+    ex.set_defaults(fn=cmd_explain)
+
+    sg = sub.add_parser("suggest", help="did-you-mean suggestions for "
+                                        "query tokens absent from the lexicon")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--query", default=None)
+    sg.add_argument("--queries", default=None, help="TSV: query_id\\ttext")
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("-n", type=int, default=3,
+                    help="suggestions per token")
+    sg.set_defaults(fn=cmd_suggest)
 
     c = sub.add_parser("compact", help="compact streaming deltas into a "
                                        "committed index (no re-tokenize)")

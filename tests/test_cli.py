@@ -156,3 +156,43 @@ def test_cli_stats(spark, transcripts_path, tmp_path, capsys):
     for stage in ("docs", "postings", "terms", "stats", "segments"):
         assert out["stages"][stage]["bytes"] > 0
         assert out["stages"][stage]["rows"] >= 1
+
+
+def test_cli_explain_and_suggest(spark, transcripts_path, tmp_path, capsys):
+    from pulse_spark.cli import main
+
+    out = str(tmp_path / "idx_ex")
+    assert main(["build", "--input", transcripts_path, "--output", out,
+                 "--term-buckets", "4"]) == 0
+    capsys.readouterr()
+
+    # explain: breakdown lines whose per-doc term_score sum == score,
+    # over exactly the docs the plain search returns
+    assert main(["search", "--index", out, "--query", "error function",
+                 "-k", "5"]) == 0
+    trec = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()
+            if ln.strip() and not ln.startswith("#")]
+    want_docs = {(p[0], p[2]) for p in trec}
+
+    assert main(["explain", "--index", out, "--query", "error function",
+                 "-k", "5"]) == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()
+             if ln.strip()]
+    assert lines and all(len(p) == 10 for p in lines)
+    per_doc: dict = {}
+    for qid, rank, doc_no, score, term, tf, df, occ, idf, ts in lines:
+        per_doc.setdefault((qid, doc_no), [0.0, float(score)])
+        per_doc[(qid, doc_no)][0] += float(ts)
+    assert set(per_doc) == want_docs
+    for ssum, stotal in per_doc.values():
+        assert abs(ssum - stotal) < 2e-5  # printed at 6 decimals
+
+    # suggest: a misspelling maps to the lexicon term; an in-lexicon
+    # token yields no line
+    assert main(["suggest", "--index", out, "--query", "erorr function",
+                 "--max-edits", "2", "-n", "2"]) == 0
+    sug = [ln.split("\t") for ln in capsys.readouterr().out.splitlines()
+           if ln.strip()]
+    assert sug and all(len(p) == 6 for p in sug)
+    assert all(p[2] == "erorr" for p in sug)  # 'function' is in-lexicon
+    assert any(p[3] == "error" for p in sug)
