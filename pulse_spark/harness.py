@@ -725,6 +725,42 @@ def q_bm25_fuzzy_topk(spark, sf_dir):
     )
 
 
+# synonym groups (query/synonym.py): rows sharing (query_id, pos) are
+# one group.  q1 blends a 2-member group; q2's members co-occur (tf
+# sums); q3 has an absent member (df/tf from the present one only);
+# q4 is all-absent (drops); q5 repeats a singleton group at two
+# positions (scores twice)
+SYN_QUERIES: list[tuple[int, int, str]] = [
+    (1, 0, "spark"), (1, 0, "stream"), (1, 1, "merge"),
+    (2, 0, "join"), (2, 0, "merge"),
+    (3, 0, "dup"), (3, 0, "zzz"), (3, 1, "row"),
+    (4, 0, "zzz"), (4, 0, "qqq"),
+    (5, 0, "spark"), (5, 1, "spark"),
+]
+
+
+def q_bm25_synonym_topk(spark, sf_dir):
+    """Synonym-group (blended-tf) top-k (query/synonym.py; Lucene
+    SynonymQuery): group tf = sum of member tfs per doc, group df = max
+    member df — the saturation curve applies ONCE per concept."""
+    from pulse_spark.query.synonym import synonym_topk
+
+    qg = spark.createDataFrame(
+        SYN_QUERIES, "query_id long, pos int, term string"
+    )
+    res = synonym_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qg,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 COLLAPSE_MOD = 100  # transcripts convention: conv_id = doc_id % 100
 
 
@@ -958,6 +994,7 @@ FULLTEXT_QUERIES = {
     "bm25_collapse_topk": q_bm25_collapse_topk,
     "bm25_msm_topk": q_bm25_msm_topk,
     "hit_counts": q_hit_counts,
+    "bm25_synonym_topk": q_bm25_synonym_topk,
 }
 
 
@@ -1238,6 +1275,38 @@ QUALIFY row_number() OVER w <= {K}
 """
 
 
+def _synonym_oracle_sql() -> str:
+    """Blended-tf synonym twin: per (query, group, doc) tf sums, group
+    df = max present-member df, saturation applied per group."""
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+g(query_id, pos, term) AS (VALUES {", ".join(
+    f"({qid}, {pos}, '{t}')" for qid, pos, t in SYN_QUERIES)}),
+gd AS (
+  SELECT g.query_id, g.pos, max(df.df) AS df
+  FROM g JOIN df ON df.term = g.term GROUP BY 1, 2
+),
+bl AS (
+  SELECT g.query_id, g.pos, tf.doc_id,
+         sum(tf.tf) AS tf, max(tf.doc_len) AS doc_len
+  FROM g JOIN tf ON tf.term = g.term GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT bl.query_id, bl.doc_id,
+         sum(bl.tf / (1.3*((1-0.5) + 0.5*(bl.doc_len/s.adl)) + bl.tf)
+             * ln(s.n_docs / gd.df)) AS raw_score
+  FROM bl JOIN gd ON gd.query_id = bl.query_id AND gd.pos = bl.pos
+  CROSS JOIN stats s GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {K}
+"""
+
+
 def _collapse_oracle_sql() -> str:
     """Collapsed top-k twin: per (query, conv) the best doc survives
     (round(score,6) desc, doc_id asc — the engine's tie rule), then the
@@ -1485,5 +1554,6 @@ SELECT term, df, max_tf FROM df
     "bm25_collapse_topk": _collapse_oracle_sql(),
     "bm25_msm_topk": _msm_oracle_sql(),
     "hit_counts": _hit_counts_oracle_sql(),
+    "bm25_synonym_topk": _synonym_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -267,3 +267,19 @@ def test_collapse_plan_is_scale_safe(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_synonym_plan_is_scale_safe(spark):
+    """Synonym blending (query/synonym.py): group table + group-df table
+    broadcast, the blend and score aggregations partial, no cartesian —
+    one extra candidates-only shuffle over plain top-k."""
+    from pulse_spark import harness
+
+    plan = _plan(
+        harness.FULLTEXT_QUERIES["bm25_synonym_topk"](
+            spark, "/root/testdata/sf0.001")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
