@@ -356,6 +356,26 @@ def q_tfidf_topk(spark, sf_dir):
     return _topk(spark, sf_dir, "TFIDF", conjunctive=False)
 
 
+def q_bm25_page2_topk(spark, sf_dir):
+    """Pagination (query/search.py bounded_topk offset; ES `from`): page
+    2 of the disjunctive ranking — ranks [K, 2K) with absolute rank
+    numbers, the strict continuation of bm25_topk's page 1."""
+    p = _postings(spark, sf_dir)
+    t = _terms(spark, sf_dir)
+    n, adl = _stats(spark, sf_dir)
+    occ = spark.createDataFrame(
+        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
+    )
+    res = topk_from_tables(p, t, occ, n, adl, k=K, metric="BM25",
+                           id_col="doc_id", tie_round=6, offset=K)
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_bm25_stemmed_topk(spark, sf_dir):
     """Q8 + T7: BM25 with Porter stemming (no SQL oracle — DuckDB cannot
     stem; rank-identity is pinned by the pytest oracle instead)."""
@@ -995,6 +1015,7 @@ FULLTEXT_QUERIES = {
     "bm25_msm_topk": q_bm25_msm_topk,
     "hit_counts": q_hit_counts,
     "bm25_synonym_topk": q_bm25_synonym_topk,
+    "bm25_page2_topk": q_bm25_page2_topk,
 }
 
 
@@ -1272,6 +1293,28 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
 FROM scored
 WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
 QUALIFY row_number() OVER w <= {K}
+"""
+
+
+def _page2_oracle_sql() -> str:
+    """Page-2 twin: the _topk_sql pipeline with the rank window sliced
+    to ranks [K, 2K)."""
+    part = "tf.tf / (1.3*((1-0.5) + 0.5*(tf.doc_len/s.adl)) + tf.tf)"
+    return f"""
+WITH {_D_CTE}, {_TOK_CTE}, {_TF_CTE}, {_DF_CTE}, {_STATS_CTE},
+{_queries_values_sql()},
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum({part} * ln(s.n_docs / df.df)) AS raw_score
+  FROM q JOIN df ON df.term = q.term JOIN tf ON tf.term = q.term
+  CROSS JOIN stats s GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER w - 1 AS BIGINT) AS rank,
+       round(raw_score, 6) AS score
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY round(raw_score, 6) DESC, doc_id ASC)
+QUALIFY row_number() OVER w > {K} AND row_number() OVER w <= {2 * K}
 """
 
 
@@ -1555,5 +1598,6 @@ SELECT term, df, max_tf FROM df
     "bm25_msm_topk": _msm_oracle_sql(),
     "hit_counts": _hit_counts_oracle_sql(),
     "bm25_synonym_topk": _synonym_oracle_sql(),
+    "bm25_page2_topk": _page2_oracle_sql(),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

@@ -78,6 +78,7 @@ def topk_from_tables(
     tie_round: int | None = None,
     deletes: DataFrame | None = None,
     doc_filter: DataFrame | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Core scorer over raw index tables.
 
@@ -115,7 +116,7 @@ def topk_from_tables(
         conjunctive=conjunctive, id_col=id_col, deletes=deletes,
         doc_filter=doc_filter,
     )
-    return bounded_topk(per_doc, k, id_col, tie_round)
+    return bounded_topk(per_doc, k, id_col, tie_round, offset=offset)
 
 
 def scored_candidates(
@@ -204,18 +205,26 @@ def hit_stats(
 
 
 def bounded_topk(
-    per_doc: DataFrame, k: int, id_col: str, tie_round: int | None = None
+    per_doc: DataFrame, k: int, id_col: str, tie_round: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Two-phase top-k (search.go:49-74's per-partition bounded heap +
     global merge, relationally) over a (query_id, <id_col>, score) frame
-    in which each (query, doc) appears exactly once: phase 1 keeps ≤ k
-    rows per (query, source partition slice), so the global window never
-    sees a hot query's full candidate set in ONE task — at 100 TB a
-    single window partition over millions of matching docs is the
-    scale-killer.  The global top-k is a subset of the union of slice
-    top-ks (correctness unchanged).  Returns (query_id, rank, <id_col>,
-    score), rank 0-based, ties broken on id_col asc (over round(score,
-    tie_round) when set — the cross-engine determinism contract)."""
+    in which each (query, doc) appears exactly once: phase 1 keeps ≤
+    offset+k rows per (query, source partition slice), so the global
+    window never sees a hot query's full candidate set in ONE task — at
+    100 TB a single window partition over millions of matching docs is
+    the scale-killer.  The global top-k is a subset of the union of
+    slice top-ks (correctness unchanged).  Returns (query_id, rank,
+    <id_col>, score), rank 0-based, ties broken on id_col asc (over
+    round(score, tie_round) when set — the cross-engine determinism
+    contract).
+
+    offset: pagination (ES `from`): skip the first `offset` ranks and
+    return ranks [offset, offset+k) with their ABSOLUTE rank numbers —
+    page 2 of a deterministic ranking is the tail of page-1's order, so
+    deep paging costs O(offset+k) per slice, the classic deep-paging
+    caveat, kept explicit rather than hidden."""
     order_key = (
         F.round("score", tie_round) if tie_round is not None else F.col("score")
     )
@@ -225,13 +234,13 @@ def bounded_topk(
     )
     pre = (
         sliced.withColumn("_lr", F.row_number().over(w_local))
-        .where(F.col("_lr") <= k)
+        .where(F.col("_lr") <= offset + k)
         .drop("_lr", "_slice")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc(id_col))
     return (
         pre.withColumn("rank", F.row_number().over(w) - 1)
-        .where(F.col("rank") < k)
+        .where((F.col("rank") < offset + k) & (F.col("rank") >= offset))
         .select("query_id", "rank", id_col, "score")
     )
 

@@ -274,3 +274,37 @@ def test_resume_refuses_changed_input(spark, transcripts_path, settings, tmp_pat
     assert idx2.n_docs == idx1.n_docs
     t2 = {r["term"]: (r["df"], r["max_tf"]) for r in idx2.terms.collect()}
     assert t2 == t1
+
+
+def test_pagination_is_continuation_of_page_one(spark, spark_index):
+    """bounded_topk(offset=k): page 2 carries absolute ranks [k, 2k),
+    is disjoint from page 1, and page1+page2 == one k=2k run."""
+    from pyspark.sql import functions as F
+
+    from pulse_spark.query.search import bounded_topk, scored_candidates
+
+    idx = spark_index
+    # query the two highest-df terms so the candidate set is deep enough
+    top_terms = [r["term"] for r in
+                 idx.terms.orderBy(F.desc("df"), "term").limit(2).collect()]
+    occ = spark.createDataFrame(
+        [(0, i, t) for i, t in enumerate(top_terms)],
+        "query_id long, pos int, term string",
+    )
+    n_cand = scored_candidates(
+        idx.postings, idx.terms, occ, idx.n_docs, idx.adl, id_col="doc_id"
+    ).count()
+    assert n_cand > 4  # enough matches to paginate
+    k = min(10, n_cand // 2)
+    per_doc = scored_candidates(
+        idx.postings, idx.terms, occ, idx.n_docs, idx.adl, id_col="doc_id"
+    )
+    p1 = bounded_topk(per_doc, k, "doc_id").collect()
+    p2 = bounded_topk(per_doc, k, "doc_id", offset=k).collect()
+    assert [r["rank"] for r in sorted(p1, key=lambda r: r["rank"])] == list(range(k))
+    assert [r["rank"] for r in sorted(p2, key=lambda r: r["rank"])] == \
+        list(range(k, 2 * k))
+    assert not {r["doc_id"] for r in p1} & {r["doc_id"] for r in p2}
+    full = bounded_topk(per_doc, 2 * k, "doc_id").collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in p1 + p2) == \
+        sorted((r["rank"], r["doc_id"]) for r in full)
