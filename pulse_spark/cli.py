@@ -78,6 +78,9 @@ def _print_timing(qid, seconds: float) -> None:
 def _read_queries_arg(args) -> list[tuple[int, str]]:
     if args.query:
         return [(0, args.query)]
+    if not args.queries:
+        raise SystemExit(
+            f"pulse_spark {args.cmd}: one of --query or --queries is required")
     return [
         (int(a), b.rstrip("\n"))
         for a, b in (ln.split("\t", 1) for ln in open(args.queries) if ln.strip())
@@ -184,14 +187,13 @@ def cmd_explain(args) -> int:
     one TSV line per (query, doc, term) —
     query_id, rank, doc_no, score, term, tf, df, occurrences, idf,
     term_score — sum(term_score) over a doc's lines equals its score."""
+    queries = _read_queries_arg(args)  # validate before the JVM spins up
     spark = _spark(args)
     from pulse_spark.index.persist import load_index
     from pulse_spark.query.explain import explain_search
 
     idx = load_index(spark, args.index)
-    qdf = spark.createDataFrame(
-        _read_queries_arg(args), "query_id long, text string"
-    )
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
     rows = explain_search(idx, qdf, k=args.k, metric=args.metric).collect()
     for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"], r["term"])):
         print(f"{r['query_id']}\t{r['rank']}\t{r['doc_no']}\t"
@@ -204,6 +206,7 @@ def cmd_suggest(args) -> int:
     """Did-you-mean suggestions (query/wildcard.py suggest_terms): one
     TSV line per suggestion — query_id, pos, token, suggestion,
     distance, df — for query tokens absent from the index lexicon."""
+    queries = _read_queries_arg(args)  # validate before the JVM spins up
     spark = _spark(args)
     from pulse_spark.index.persist import load_index
     from pulse_spark.query.wildcard import suggest_terms
@@ -211,7 +214,7 @@ def cmd_suggest(args) -> int:
 
     idx = load_index(spark, args.index)
     probes = []
-    for qid, text in _read_queries_arg(args):
+    for qid, text in queries:
         for pos, t in enumerate(py_tokens(text, idx.settings.preprocess)):
             probes.append((qid, pos, t))
     qt = spark.createDataFrame(probes, "query_id long, pos int, token string")

@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pulse_spark.query.search import bounded_topk, scored_candidates
+from pulse_spark.query.search import (bounded_topk, order_key,
+                                      scored_candidates)
 
 
 def collapse_topk(
@@ -54,11 +55,8 @@ def collapse_topk(
         conjunctive=conjunctive, id_col=id_col, deletes=deletes,
         doc_filter=doc_filter,
     ).withColumn("group", group_col)
-    order_key = (
-        F.round("score", tie_round) if tie_round is not None else F.col("score")
-    )
     w = Window.partitionBy("query_id", "group").orderBy(
-        F.desc(order_key), F.asc(id_col)
+        F.desc(order_key(tie_round)), F.asc(id_col)
     )
     best = (
         per_doc.withColumn("_gr", F.row_number().over(w))

@@ -82,9 +82,11 @@ def explain_topk(
 
 
 def explain_search(index, queries: DataFrame, k: int = 10,
-                   metric: str = "BM25") -> DataFrame:
-    """Index-level explain: search_topk's driver-side tokenize +
-    bucket/term scan pruning + slim-layout doc_no recovery, returning
+                   metric: str = "BM25",
+                   max_driver_queries: int = 10_000) -> DataFrame:
+    """Index-level explain: the shared prepare_query_scan front half
+    (driver-side tokenize with distributed fallback, bucket/term scan
+    pruning, slim-layout id detection — identical to search_topk), then
     the per-term breakdown instead of the bare ranked list.
 
     queries: (query_id, text).  Returns one row per (query, winning
@@ -92,34 +94,17 @@ def explain_search(index, queries: DataFrame, k: int = 10,
     occurrences, idf, term_score)."""
     spark = queries.sparkSession
     from pulse_spark.index.deletes import load_deletes
-    from pulse_spark.text.normalize import tokens as py_tokens
+    from pulse_spark.query.search import prepare_query_scan
 
-    occ = []
-    for r in queries.collect():
-        if r["text"] is None:  # mirror the UDF's None -> [] mapping
-            continue
-        for pos, t in enumerate(py_tokens(r["text"], index.settings.preprocess)):
-            occ.append((r["query_id"], pos, t))
-    out_schema = (
-        "query_id long, rank int, doc_no string, score double,"
-        " term string, tf long, df long, occurrences long,"
-        " idf double, term_score double"
+    qt, postings, id_col = prepare_query_scan(
+        index, queries, max_driver_queries=max_driver_queries
     )
-    if not occ:
-        return spark.createDataFrame([], out_schema)
-    qt = spark.createDataFrame(occ, "query_id long, pos int, term string")
-    q_terms = sorted({t for _, _, t in occ})
-    postings = index.postings
-    if "bucket" in postings.columns:
-        # driver-side bucket hashes — same pruning as search_topk
-        from pulse_spark.compression.xxhash64 import term_bucket
-
-        buckets = sorted({
-            term_bucket(t, index.settings.term_buckets) for t in q_terms
-        })
-        postings = postings.where(F.col("bucket").isin(buckets))
-    postings = postings.where(F.col("term").isin(q_terms))
-    id_col = "doc_no" if "doc_no" in postings.columns else "doc_id"
+    if qt is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_no string, score double,"
+                " term string, tf long, df long, occurrences long,"
+                " idf double, term_score double"
+        )
     res = explain_topk(
         postings, index.terms, qt, index.n_docs, index.adl, k=k,
         metric=metric, id_col=id_col,

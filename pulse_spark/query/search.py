@@ -56,6 +56,16 @@ def score_expr(metric: str, n_docs: int, adl: float) -> Column:
     raise ValueError(f"{metric} is not a valid metric")
 
 
+def order_key(tie_round: int | None):
+    """The ranking sort key: round(score, tie_round) when set — the
+    cross-engine determinism contract (ulps absorbed before tie-break) —
+    else the raw score.  Single definition; every ranking path (top-k,
+    collapse winners, hit max_score) must order by THIS."""
+    return (
+        F.round("score", tie_round) if tie_round is not None else F.col("score")
+    )
+
+
 def tokenize_queries(queries: DataFrame, index: Index) -> DataFrame:
     """(query_id, pos, term): one row per token OCCURRENCE, preprocessed
     with the settings persisted in the index (engine.go:38-43 coupling)."""
@@ -195,9 +205,7 @@ def hit_stats(
         conjunctive=conjunctive, id_col=id_col, deletes=deletes,
         doc_filter=doc_filter,
     )
-    score = (
-        F.round("score", tie_round) if tie_round is not None else F.col("score")
-    )
+    score = order_key(tie_round)
     return per_doc.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.max(score).alias("max_score"),
@@ -225,19 +233,17 @@ def bounded_topk(
     page 2 of a deterministic ranking is the tail of page-1's order, so
     deep paging costs O(offset+k) per slice, the classic deep-paging
     caveat, kept explicit rather than hidden."""
-    order_key = (
-        F.round("score", tie_round) if tie_round is not None else F.col("score")
-    )
+    key = order_key(tie_round)
     sliced = per_doc.withColumn("_slice", F.spark_partition_id())
     w_local = Window.partitionBy("query_id", "_slice").orderBy(
-        F.desc(order_key), F.asc(id_col)
+        F.desc(key), F.asc(id_col)
     )
     pre = (
         sliced.withColumn("_lr", F.row_number().over(w_local))
         .where(F.col("_lr") <= offset + k)
         .drop("_lr", "_slice")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc(id_col))
     return (
         pre.withColumn("rank", F.row_number().over(w) - 1)
         .where((F.col("rank") < offset + k) & (F.col("rank") >= offset))
@@ -252,6 +258,65 @@ def with_doc_metadata(index: Index, results: DataFrame) -> DataFrame:
     return index.docs.select("doc_no", "conv_id", "turn_idx", "doc_len").join(
         F.broadcast(results), "doc_no"
     )
+
+
+def prepare_query_scan(
+    index: Index,
+    queries: DataFrame,
+    prune_scan: bool = True,
+    max_driver_queries: int = 10_000,
+):
+    """Shared front half of every index-level query path (search_topk,
+    explain_search): driver-side tokenization with the index's persisted
+    settings (distributed pandas-UDF fallback past max_driver_queries),
+    bucket + term literal pruning of the postings scan, and slim-layout
+    id-column detection.
+
+    Returns (qt, postings, id_col); qt is None when the query set
+    tokenizes to nothing (callers return their empty frame).  qt is the
+    (query_id, pos, term) occurrence table; postings is index.postings
+    term/bucket-pruned (when prune_scan); id_col is "doc_no" or — under
+    the slim doc_id-only layout — "doc_id" (the caller joins doc_no back
+    over the k·q winners, document.go:47-61).
+    """
+    spark = queries.sparkSession
+    head = queries.limit(max_driver_queries + 1).collect()
+    if len(head) > max_driver_queries:
+        qt = tokenize_queries(queries, index)  # distributed fallback
+        q_terms = None
+    else:
+        from pulse_spark.text.normalize import tokens as py_tokens
+
+        occ = []
+        for r in head:
+            if r["text"] is None:  # mirror the UDF's None -> [] mapping
+                continue
+            for pos, t in enumerate(py_tokens(r["text"], index.settings.preprocess)):
+                occ.append((r["query_id"], pos, t))
+        if not occ:
+            return None, None, None
+        qt = spark.createDataFrame(occ, "query_id long, pos int, term string")
+        q_terms = sorted({t for _, _, t in occ})
+
+    postings = index.postings
+    if prune_scan:
+        if q_terms is None:
+            q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        if not q_terms:
+            return None, None, None
+        if "bucket" in postings.columns:
+            # driver-side bucket hashes (pure-Python XXH64, bit-identical
+            # to F.xxhash64 — tests/test_xxhash.py): zero Spark jobs
+            from pulse_spark.compression.xxhash64 import term_bucket
+
+            buckets = sorted({
+                term_bucket(t, index.settings.term_buckets) for t in q_terms
+            })
+            postings = postings.where(F.col("bucket").isin(buckets))
+        postings = postings.where(F.col("term").isin(q_terms))
+
+    id_col = "doc_no" if "doc_no" in postings.columns else "doc_id"
+    return qt, postings, id_col
 
 
 def search_topk(
@@ -287,50 +352,14 @@ def search_topk(
         raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
     spark = queries.sparkSession
 
-    head = queries.limit(max_driver_queries + 1).collect()
-    if len(head) > max_driver_queries:
-        qt = tokenize_queries(queries, index)  # distributed fallback
-        q_terms = None
-    else:
-        from pulse_spark.text.normalize import tokens as py_tokens
-
-        occ = []
-        for r in head:
-            if r["text"] is None:  # mirror the UDF's None -> [] mapping
-                continue
-            for pos, t in enumerate(py_tokens(r["text"], index.settings.preprocess)):
-                occ.append((r["query_id"], pos, t))
-        if not occ:
-            return spark.createDataFrame(
-                [], "query_id long, rank int, doc_no string, score double"
-            )
-        qt = spark.createDataFrame(occ, "query_id long, pos int, term string")
-        q_terms = sorted({t for _, _, t in occ})
-
-    postings = index.postings
-    if prune_scan:
-        if q_terms is None:
-            q_terms = [r["term"] for r in qt.select("term").distinct().collect()]
-        if not q_terms:
-            return spark.createDataFrame(
-                [], "query_id long, rank int, doc_no string, score double"
-            )
-        if "bucket" in postings.columns:
-            # driver-side bucket hashes (pure-Python XXH64, bit-identical
-            # to F.xxhash64 — tests/test_xxhash.py): zero Spark jobs
-            from pulse_spark.compression.xxhash64 import term_bucket
-
-            buckets = sorted({
-                term_bucket(t, index.settings.term_buckets) for t in q_terms
-            })
-            postings = postings.where(F.col("bucket").isin(buckets))
-        postings = postings.where(F.col("term").isin(q_terms))
-
-    # Slim-postings layout (assign_ids=True) carries only the 8-byte
-    # doc_id on posting rows — doc_no is recovered by a broadcast join of
-    # the k·q winners against the docs table (the reference likewise maps
-    # internal doc ids to doc numbers only at output, document.go:47-61).
-    id_col = "doc_no" if "doc_no" in postings.columns else "doc_id"
+    qt, postings, id_col = prepare_query_scan(
+        index, queries, prune_scan=prune_scan,
+        max_driver_queries=max_driver_queries,
+    )
+    if qt is None:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_no string, score double"
+        )
     from pulse_spark.index.deletes import load_deletes
 
     dels = load_deletes(spark, index.out_dir)

@@ -36,6 +36,36 @@ from pyspark.sql import functions as F
 from pulse_spark.query.search import topk_from_tables
 
 
+def _probe_candidates(
+    terms: DataFrame,
+    probe_strs: list[str],
+    match: "callable[[Column, str], Column]",
+    payload: "callable[[Column, str], Column] | None" = None,
+) -> DataFrame:
+    """ONE predicated lexicon scan shared by prefix/fuzzy expansion and
+    spell suggestion: terms matching ANY probe, with the matched probes
+    attached by a projected CASE/explode (never a join against the
+    lexicon).  Returns (term, df, probe[, payload]) — payload, when
+    given, is a per-(term, probe) expression (e.g. the edit distance)."""
+    cand = terms.select("term", "df").where(
+        reduce(or_, [match(F.col("term"), p) for p in probe_strs])
+    )
+
+    def fields(p: str):
+        out = [F.lit(p).alias("probe")]
+        if payload is not None:
+            out.append(payload(F.col("term"), p).alias("payload"))
+        return out
+
+    matched = F.array_compact(F.array(*[
+        F.when(match(F.col("term"), p), F.struct(*fields(p)))
+        for p in probe_strs
+    ]))
+    exploded = cand.select("term", "df", F.explode(matched).alias("m"))
+    cols = ["term", "df", "m.probe"] + (["m.payload"] if payload else [])
+    return exploded.select(*cols)
+
+
 def _expand_probes(
     terms: DataFrame,
     probes: list[tuple[int, int, str]],
@@ -45,14 +75,7 @@ def _expand_probes(
     """(query_id, pos, term): lexicon terms matching each probe, top
     max_expansions per (query_id, pos) by (df desc, term asc)."""
     spark = terms.sparkSession
-    probe_strs = sorted({p for _, _, p in probes})
-    cand = terms.select("term", "df").where(
-        reduce(or_, [match(F.col("term"), p) for p in probe_strs])
-    )
-    matched = F.array_compact(F.array(*[
-        F.when(match(F.col("term"), p), F.lit(p)) for p in probe_strs
-    ]))
-    per_probe = cand.select("term", "df", F.explode(matched).alias("probe"))
+    per_probe = _probe_candidates(terms, sorted({p for _, _, p in probes}), match)
     occ = spark.createDataFrame(probes, "query_id long, pos int, probe string")
     w = Window.partitionBy("query_id", "pos").orderBy(
         F.desc("df"), F.asc("term")
@@ -207,21 +230,11 @@ def suggest_terms(
     probes = [(r["query_id"], r["pos"], r["token"]) for r in q_tokens.collect()]
     if not probes:
         return spark.createDataFrame([], out_schema)
-    probe_strs = sorted({p for _, _, p in probes})
-    dists = {p: F.levenshtein(F.col("term"), F.lit(p)) for p in probe_strs}
-    cand = terms.select("term", "df").where(
-        reduce(or_, [d <= max_edits for d in dists.values()])
-    )
-    matched = F.array_compact(F.array(*[
-        F.when(
-            d <= max_edits,
-            F.struct(F.lit(p).alias("token"), d.cast("int").alias("distance")),
-        )
-        for p, d in dists.items()
-    ]))
-    per_probe = cand.select(
-        "term", "df", F.explode(matched).alias("m")
-    ).select("term", "df", "m.token", "m.distance")
+    per_probe = _probe_candidates(
+        terms, sorted({p for _, _, p in probes}),
+        lambda t, p: F.levenshtein(t, F.lit(p)) <= max_edits,
+        payload=lambda t, p: F.levenshtein(t, F.lit(p)).cast("int"),
+    ).withColumnsRenamed({"probe": "token", "payload": "distance"})
     occ = spark.createDataFrame(probes, "query_id long, pos int, token string")
     per_occ = per_probe.join(F.broadcast(occ), "token")
     w = Window.partitionBy("query_id", "pos")

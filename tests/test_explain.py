@@ -72,7 +72,8 @@ def test_winners_match_topk_and_evidence_fields(spark):
     rows = {(r["doc_id"], r["term"]): r for r in exp.collect()}
     assert rows[(5, "merge")]["tf"] == 2
     assert rows[(5, "merge")]["df"] == 4  # docs 1,3,4,5
-    assert rows[(1, "spark")]["idf"] == math.log(n / 3)
+    assert math.isclose(rows[(1, "spark")]["idf"], math.log(n / 3),
+                        rel_tol=1e-12)
 
 
 def test_duplicate_query_tokens_double_contribution(spark):
