@@ -810,6 +810,42 @@ def q_bm25_collapse_topk(spark, sf_dir):
     )
 
 
+# regexp probes (query/wildcard.py regexp_topk): anchored full-term
+# match in the JVM/RE2-portable subset; q1 duplicates a probe
+# occurrence (scores twice), q3 mixes a hit with a miss, q4 matches
+# nothing (query drops)
+REGEXP_PROBES: list[tuple[int, int, str]] = [
+    (1, 0, "s.*k"), (1, 1, "s.*k"),
+    (2, 0, "m(e|a)rge"), (2, 1, "jo.n"),
+    (3, 0, "gr.+"), (3, 1, "zz.*"),
+    (4, 0, "q{5}"),
+]
+REGEXP_MAX_EXP = 4
+
+
+def q_bm25_regexp_topk(spark, sf_dir):
+    """Regexp search (query/wildcard.py regexp_topk; Lucene RegexpQuery,
+    top-terms rewrite): anchored full-term patterns expand to the
+    max_expansions highest-df lexicon matches, then score like any
+    multi-term query."""
+    from pulse_spark.query.wildcard import regexp_topk
+
+    qp = spark.createDataFrame(
+        REGEXP_PROBES, "query_id long, pos int, pattern string"
+    )
+    res = regexp_topk(
+        _postings(spark, sf_dir), _terms(spark, sf_dir), qp,
+        *_stats(spark, sf_dir), k=K, metric="BM25",
+        max_expansions=REGEXP_MAX_EXP, id_col="doc_id", tie_round=6,
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 # spell-suggestion probes (query/wildcard.py suggest_terms): distance-1
 # and distance-2 misspellings, a duplicated occurrence, an in-lexicon
 # token (no suggestions), and a hopeless probe (no candidates)
@@ -1016,6 +1052,7 @@ FULLTEXT_QUERIES = {
     "hit_counts": q_hit_counts,
     "bm25_synonym_topk": q_bm25_synonym_topk,
     "bm25_page2_topk": q_bm25_page2_topk,
+    "bm25_regexp_topk": q_bm25_regexp_topk,
 }
 
 
@@ -1599,5 +1636,8 @@ SELECT term, df, max_tf FROM df
     "hit_counts": _hit_counts_oracle_sql(),
     "bm25_synonym_topk": _synonym_oracle_sql(),
     "bm25_page2_topk": _page2_oracle_sql(),
+    "bm25_regexp_topk": _expansion_oracle_sql(
+        REGEXP_PROBES,
+        "regexp_full_match(df.term, p.probe)", REGEXP_MAX_EXP),
     # bm25_stemmed_topk: intentionally no oracle (DuckDB cannot stem)
 }

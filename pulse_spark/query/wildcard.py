@@ -199,6 +199,50 @@ def fuzzy_topk(
     )
 
 
+def regexp_topk(
+    postings: DataFrame,
+    terms: DataFrame,
+    q_patterns: DataFrame,
+    n_docs: int,
+    adl: float,
+    k: int = 10,
+    metric: str = "BM25",
+    max_expansions: int = 50,
+    id_col: str = "doc_no",
+    tie_round: int | None = None,
+    term_buckets: int | None = None,
+) -> DataFrame:
+    """Top-k over regexp probes (Lucene RegexpQuery, top-terms rewrite):
+    lexicon terms whose ENTIRE text matches the pattern (Lucene anchors
+    regexps; `s.*k` matches `spark`, not `asks`).  Same predicated-scan
+    expansion as prefix/fuzzy — Lucene walks the pattern's automaton
+    over its FST term dict; relationally that is one rlike-predicated
+    lexicon scan.  Patterns should stay in the portable regex subset
+    (classes, alternation, ., *, +) — they are evaluated by the JVM
+    here and by the oracle's RE2.
+
+    q_patterns: (query_id, pos, pattern).  Returns
+    (query_id, rank, <id_col>, score)."""
+    probes = [
+        (r["query_id"], r["pos"], r["pattern"]) for r in q_patterns.collect()
+    ]
+    if not probes:
+        return _expanded_topk(
+            postings, terms,
+            postings.sparkSession.createDataFrame(
+                [], "query_id long, pos int, term string"),
+            n_docs, adl, k, metric, id_col, tie_round, term_buckets)
+    expanded = _expand_probes(
+        terms, probes,
+        lambda t, p: t.rlike(f"^(?:{p})$"),
+        max_expansions,
+    )
+    return _expanded_topk(
+        postings, terms, expanded, n_docs, adl, k, metric, id_col,
+        tie_round, term_buckets,
+    )
+
+
 def suggest_terms(
     terms: DataFrame,
     q_tokens: DataFrame,

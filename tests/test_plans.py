@@ -128,7 +128,7 @@ def test_wildcard_plans_are_scale_safe(spark):
     from pulse_spark import harness
 
     sf = "/root/testdata/sf0.001"
-    for name in ("bm25_prefix_topk", "bm25_fuzzy_topk"):
+    for name in ("bm25_prefix_topk", "bm25_fuzzy_topk", "bm25_regexp_topk"):
         plan = _plan(harness.FULLTEXT_QUERIES[name](spark, sf))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

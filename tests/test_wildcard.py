@@ -251,3 +251,52 @@ def test_suggest_per_occurrence_rows(spark):
     assert sorted((r["pos"], r["suggestion"]) for r in res) == [
         (0, "spark"), (1, "spark"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# regexp queries (regexp_topk)
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_is_anchored_full_term_match(spark):
+    """Lucene RegexpQuery semantics: the ENTIRE term must match —
+    'par.*' must NOT match 'spark' (substring), only terms starting
+    'par'; and the expansion equals the hand-built disjunction."""
+    from pulse_spark.query.wildcard import regexp_topk
+
+    p, t, n, adl = _corpus(
+        spark,
+        [
+            (1, "spark part partition"),
+            (2, "spark part"),
+            (3, "partition join"),
+        ],
+    )
+    res = regexp_topk(
+        p, t, _probes(spark, [(1, 0, "par.*")], "pattern"),
+        n, adl, k=10, id_col="doc_id", tie_round=6,
+    )
+    occ = spark.createDataFrame(
+        [(1, 0, "part"), (1, 0, "partition")],
+        "query_id long, pos int, term string",
+    )
+    plain = topk_from_tables(p, t, occ, n, adl, k=10, id_col="doc_id",
+                             tie_round=6)
+    key = lambda rs: [(r["doc_id"], round(r["score"], 9))
+                      for r in sorted(rs, key=lambda r: r["rank"])]
+    assert key(res.collect()) == key(plain.collect())
+
+
+def test_regexp_miss_and_alternation(spark):
+    from pulse_spark.query.wildcard import regexp_topk
+
+    p, t, n, adl = _corpus(
+        spark, [(1, "merge join"), (2, "marge"), (3, "join")]
+    )
+    res = regexp_topk(
+        p, t,
+        _probes(spark, [(1, 0, "m(e|a)rge"), (2, 0, "zz+")], "pattern"),
+        n, adl, k=10, id_col="doc_id",
+    ).collect()
+    assert {r["query_id"] for r in res} == {1}
+    assert sorted(r["doc_id"] for r in res) == [1, 2]  # merge + marge docs
