@@ -992,6 +992,22 @@ def q_phrase_slop_match(spark, sf_dir):
     )
 
 
+NEAR_TERMS = "merge spark"   # unordered: matches "spark ... merge" too
+NEAR_SLOP = 3
+
+
+def q_near_match(spark, sf_dir):
+    """Unordered proximity (query/phrase.py near_match; Lucene
+    SpanNearQuery inOrder=false): all distinct terms within an
+    n + slop token window, any order; n_occ counts covering windows."""
+    from pulse_spark.query.phrase import near_match
+
+    return near_match(
+        load_documents(spark, sf_dir), NEAR_TERMS, SETTINGS.preprocess,
+        slop=NEAR_SLOP,
+    )
+
+
 def q_bm25_explain(spark, sf_dir):
     """Per-term score explanation of the BM25 top-k winners (query/
     explain.py; Lucene's `explain` model): one row per (query, winning
@@ -1053,6 +1069,7 @@ FULLTEXT_QUERIES = {
     "bm25_synonym_topk": q_bm25_synonym_topk,
     "bm25_page2_topk": q_bm25_page2_topk,
     "bm25_regexp_topk": q_bm25_regexp_topk,
+    "near_match": q_near_match,
 }
 
 
@@ -1573,6 +1590,37 @@ SELECT doc_id, n_occ FROM c WHERE n_occ > 0
 """
 
 
+def _near_oracle_sql() -> str:
+    """Unordered-near twin, mirroring near_count_expr position for
+    position: every distinct term has an occurrence inside the
+    [i, i + n - 1 + slop] window."""
+    from pulse_spark.text.normalize import tokens as py_tokens
+
+    seen: dict[str, None] = {}
+    for t in py_tokens(NEAR_TERMS, SETTINGS.preprocess):
+        seen.setdefault(t)
+    toks = list(seen)
+    n = len(toks)
+    w = n + NEAR_SLOP
+    cond = " AND ".join(
+        f"len(list_filter(list_filter(range(1, len(toks) + 1), "
+        f"p{j} -> toks[p{j}] = '{t}'), q{j} -> q{j} >= i AND q{j} < i + {w}))"
+        f" > 0"
+        for j, t in enumerate(toks)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_toks_sql(True)} AS toks FROM documents),
+c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN len(toks) >= {n} THEN
+           len(list_filter(range(1, len(toks) + 1), i -> {cond}))
+         ELSE 0 END AS BIGINT) AS n_occ
+  FROM d
+)
+SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+"""
+
+
 FULLTEXT_ORACLES = {
     "corpus_stats": f"""
 WITH {_D_CTE}
@@ -1629,6 +1677,7 @@ SELECT term, df, max_tf FROM df
     ),
     "bm25_boolean_topk": _boolean_oracle_sql(),
     "phrase_slop_match": _phrase_slop_oracle_sql(),
+    "near_match": _near_oracle_sql(),
     "bm25_explain": _explain_sql(),
     "spell_suggest": _suggest_oracle_sql(),
     "bm25_collapse_topk": _collapse_oracle_sql(),

@@ -79,6 +79,69 @@ def proximity_count_expr(n: int, phrase_tokens: list[str], slop: int) -> Column:
     )
 
 
+def near_count_expr(near_tokens: list[str], slop: int) -> Column:
+    """Unordered proximity (Lucene SpanNearQuery inOrder=false): count
+    of positions p in `_toks` whose window [p, p + n - 1 + slop]
+    contains EVERY query term, any order (n = number of distinct
+    terms).  Overlapping windows each count — the count is a
+    well-defined co-occurrence density, mirrored position-for-position
+    by the SQL oracle; existence (n_occ > 0) is the retrieval
+    predicate.
+
+    Same expression budget as proximity_count_expr: per-term position
+    arrays + an `exists` per term per candidate position — interpreted
+    HOFs, fine at the n ≤ ~4 terms real near-queries carry."""
+    for t in near_tokens:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"unsupported token {t!r}")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    n = len(near_tokens)
+    w = n + slop  # max span length, Lucene's n - 1 + slop gap budget + 1
+    cond = " AND ".join(
+        f"exists(filter(sequence(1, size(_toks)), "
+        f"p{j} -> element_at(_toks, CAST(p{j} AS INT)) = '{t}'), "
+        f"q{j} -> q{j} >= i AND q{j} < i + {w})"
+        for j, t in enumerate(near_tokens)
+    )
+    return F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"size(filter(sequence(1, size(_toks)), i -> {cond})) "
+        f"ELSE 0 END"
+    )
+
+
+def near_match(
+    docs: DataFrame,
+    terms_text: str,
+    settings: PreprocessSettings = PreprocessSettings(stemming=False),
+    id_col: str = "doc_id",
+    slop: int = 0,
+) -> DataFrame:
+    """(id, n_occ): documents where ALL distinct query terms co-occur
+    within a window of n + slop tokens in ANY order (slop=0 = the terms
+    packed tight).  Duplicate query tokens are deduped (first-seen
+    order) — an unordered near over {a, a} is just {a}."""
+    tok = make_tokenizer_udf(settings)
+    from pulse_spark.text.normalize import tokens as py_tokens
+
+    seen: dict[str, None] = {}
+    for t in py_tokens(terms_text, settings):
+        seen.setdefault(t)
+    near_tokens = list(seen)
+    if not near_tokens:
+        spark = docs.sparkSession
+        return spark.createDataFrame([], f"{id_col} long, n_occ long")
+    return (
+        docs.withColumn("_toks", tok(F.col("text")))
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            near_count_expr(near_tokens, slop).cast("long").alias("n_occ"),
+        )
+        .where(F.col("n_occ") > 0)
+    )
+
+
 def phrase_match(
     docs: DataFrame,
     phrase: str,

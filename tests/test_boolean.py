@@ -258,3 +258,63 @@ def test_hit_stats_counts_and_max_score(spark):
     assert hs[1]["n_hits"] == len(full)
     best = round(max(r["score"] for r in full), 6)
     assert abs(hs[1]["max_score"] - best) < 1e-9
+
+
+def test_unordered_near_semantics(spark):
+    """near_match: any order within the n+slop window; ordered-only
+    corpora match both directions; beyond-window docs don't match."""
+    from pulse_spark.query.phrase import near_match
+    from pulse_spark.text.normalize import PreprocessSettings
+
+    prep = PreprocessSettings(stemming=False)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join"),              # adjacent, in order
+            (2, "join spark"),              # adjacent, REVERSED
+            (3, "spark big data platform query join"),  # gap 4 > slop 2
+            (4, "spark big fast join"),     # gap 2 == slop 2
+            (5, "spark merge"),             # missing 'join'
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r["n_occ"]
+           for r in near_match(docs, "spark join", prep, slop=2).collect()}
+    assert set(res) == {1, 2, 4}
+    # windows counted per covering start position (overlaps count):
+    # doc 1 "spark join": window size 4, starts i=1 covers both; i<=... 
+    assert all(v >= 1 for v in res.values())
+
+    # slop=0: terms must be packed tight (adjacent, any order)
+    tight = {r["doc_id"] for r in
+             near_match(docs, "spark join", prep, slop=0).collect()}
+    assert tight == {1, 2}
+
+    # duplicate query tokens dedupe: {spark, spark} == {spark}
+    dup = {r["doc_id"]: r["n_occ"] for r in
+           near_match(docs, "spark spark", prep, slop=0).collect()}
+    single = {r["doc_id"]: r["n_occ"] for r in
+              near_match(docs, "spark", prep, slop=0).collect()}
+    assert dup == single
+
+
+def test_unordered_near_superset_of_ordered_slop(spark):
+    """Every doc the ordered sloppy phrase matches, the unordered near
+    at the same window also matches (order is a strictly weaker
+    constraint)."""
+    from pulse_spark.query.phrase import near_match, phrase_match
+    from pulse_spark.text.normalize import PreprocessSettings
+
+    prep = PreprocessSettings(stemming=False)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "spark fast join", "join spark", "spark merge join merge",
+            "join fast fast spark", "spark join spark join",
+        ])],
+        "doc_id long, text string",
+    )
+    ordered = {r["doc_id"] for r in
+               phrase_match(docs, "spark join", prep, slop=1).collect()}
+    unordered = {r["doc_id"] for r in
+                 near_match(docs, "spark join", prep, slop=1).collect()}
+    assert ordered <= unordered
+    assert 1 in unordered - ordered or 3 in unordered - ordered

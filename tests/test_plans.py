@@ -177,6 +177,10 @@ def test_boolean_and_slop_plans_are_scale_safe(spark):
     assert "Exchange" not in slop_plan, slop_plan
     assert "Join" not in slop_plan, slop_plan
 
+    near_plan = _plan(harness.FULLTEXT_QUERIES["near_match"](spark, sf))
+    assert "Exchange" not in near_plan, near_plan
+    assert "Join" not in near_plan, near_plan
+
 
 def test_salted_layout_splits_hot_term(spark, tmp_path):
     """North-rule salted repartition-by-term: with a term carrying ~25%
