@@ -98,16 +98,35 @@ def near_count_expr(near_tokens: list[str], slop: int) -> Column:
         raise ValueError("slop must be >= 0")
     n = len(near_tokens)
     w = n + slop  # max span length, Lucene's n - 1 + slop gap budget + 1
-    cond = " AND ".join(
-        f"exists(filter(sequence(1, size(_toks)), "
-        f"p{j} -> element_at(_toks, CAST(p{j} AS INT)) = '{t}'), "
-        f"q{j} -> q{j} >= i AND q{j} < i + {w})"
+    # Per-term position arrays referenced TWICE (emptiness guard +
+    # exists probe): Spark HOFs don't CSE non-lambda subexpressions —
+    # a single-use array would be inlined by CollapseProject and
+    # re-FILTERED per candidate position (O(len²) per doc, the
+    # bigram_pmi trap); the multi-use guard keeps each array
+    # materialized once per row, so the per-position work is just the
+    # exists probes over the (short) occurrence lists.
+    pos = {
+        j: (
+            f"filter(sequence(1, size(_toks)), "
+            f"p{j} -> element_at(_toks, CAST(p{j} AS INT)) = '{t}')"
+        )
         for j, t in enumerate(near_tokens)
+    }
+    guard = " OR ".join(f"size(_np{j}) = 0" for j in pos)
+    cond = " AND ".join(
+        f"exists(_np{j}, q{j} -> q{j} >= i AND q{j} < i + {w})" for j in pos
     )
+    expr = (
+        f"CASE WHEN {guard} THEN 0 ELSE "
+        f"size(filter(sequence(1, size(_toks)), i -> {cond})) END"
+    )
+    for j, p in pos.items():
+        # let-binding via a single-element transform: the position array
+        # P is evaluated ONCE and bound to the lambda variable _npj —
+        # lambda variables are never re-inlined, unlike projected attrs
+        expr = f"element_at(transform(array({p}), _np{j} -> {expr}), 1)"
     return F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"size(filter(sequence(1, size(_toks)), i -> {cond})) "
-        f"ELSE 0 END"
+        f"CASE WHEN size(_toks) >= {n} THEN ({expr}) ELSE 0 END"
     )
 
 
