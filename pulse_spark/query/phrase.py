@@ -70,12 +70,17 @@ def proximity_count_expr(n: int, phrase_tokens: list[str], slop: int) -> Column:
     }
     chain = "i"
     for j in range(1, n):
-        chain = f"array_min(filter({pos[j]}, q{j} -> q{j} > {chain}))"
+        chain = f"array_min(filter(_np{j}, q{j} -> q{j} > {chain}))"
     cond = f"{chain} <= i + {n - 1 + slop}" if n > 1 else "true"
+    expr = f"size(filter(_np0, i -> {cond}))"
+    for j in range(n):
+        # let-binding via a single-element transform (see
+        # near_count_expr): the position array is evaluated ONCE per
+        # row instead of per candidate position — HOFs don't CSE
+        # non-lambda subexpressions
+        expr = f"element_at(transform(array({pos[j]}), _np{j} -> {expr}), 1)"
     return F.expr(
-        f"CASE WHEN size(_toks) >= {n} THEN "
-        f"size(filter({pos[0]}, i -> {cond})) "
-        f"ELSE 0 END"
+        f"CASE WHEN size(_toks) >= {n} THEN ({expr}) ELSE 0 END"
     )
 
 
