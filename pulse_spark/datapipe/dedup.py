@@ -146,18 +146,29 @@ def repetition_score(
     (navigation bars, templated text, and degenerate generations all
     repeat n-grams).  dup_ratio = (total - distinct) / total shingles.
 
-    Pure column expressions, zero shuffle; the shingle array is built
-    twice (size + distinct-size) but over the MATERIALIZED `_toks`
-    column, so tokenization runs once per row."""
-    sh = _shingle_case(n)
-    n_total = F.size(F.expr(sh))
-    n_distinct = F.size(F.array_distinct(F.expr(sh)))
+    Pure column expressions, zero shuffle; the shingle array itself is
+    also MATERIALIZED (`_sh`, like `_toks`) so the slice+concat transform
+    runs once per row instead of once per use (size, distinct-size)."""
+    pre = (
+        docs.withColumn("_toks", _ws_toks())
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.expr(_shingle_case(n)).alias("_sh"),
+        )
+        .select(
+            id_col,
+            F.size("_sh").alias("_n_total"),
+            F.size(F.array_distinct("_sh")).alias("_n_distinct"),
+        )
+    )
+    n_total = F.col("_n_total")
+    n_distinct = F.col("_n_distinct")
     ratio = F.when(
         n_total > 0,
         (n_total - n_distinct).cast("double") / n_total.cast("double"),
     ).otherwise(F.lit(0.0))
-    return docs.withColumn("_toks", _ws_toks()).select(
-        F.col(id_col).cast("long").alias(id_col),
+    return pre.select(
+        id_col,
         n_total.cast("long").alias("n_shingles"),
         n_distinct.cast("long").alias("n_distinct"),
         F.round(ratio, 6).alias("dup_ratio"),
@@ -200,21 +211,89 @@ def minhash_lsh_pairs(
     """(id_a, id_b, jaccard): near-duplicate pairs — LSH candidates
     verified with exact shingle-set Jaccard.  Returns id_a < id_b.
 
+    r6 shape (optimization guide §2.4 — remove shuffles outright): the
+    MinHash signature is a PER-ROW array expression — sig_i =
+    array_min(transform(distinct_shingles, s -> md5(i|s))) — which is
+    value-identical to the old explode + groupBy(min) but needs NO
+    (doc, shingle) shuffle and no string-min SortAggregate; band keys
+    and the shingle-set size are per-row expressions too.  One cached
+    per-doc frame (id, shingle_set, n_sh, band keys) replaces the two
+    caches (sh + bk) of the old shape.  Candidate verification is
+    size(array_intersect(set_a, set_b)) over the SURVIVING candidate
+    pairs only — same |A ∩ B| the exploded equi-join computed, without
+    its two shuffles and groupBy.  Jobs per invocation dropped 17 -> ~8
+    (measured, sf0.1); at scale the removed shuffle was O(corpus
+    shingles).
+
+    Docs with zero shingles never enter banding (they had no sh rows in
+    the old shape either; without the filter they would all share the
+    empty-signature bucket — quadratic at scale).
+
     max_bucket_size: HOT-BUCKET CAP.  A degenerate band_key (boilerplate
     text that hashes millions of near-identical docs into one bucket)
     turns the band self-join quadratic — one such bucket at 100 TB is a
     job-killer.  Buckets larger than the cap are dropped from candidate
     generation (their members are overwhelmingly exact/near-exact dups,
     which exact_dup_groups already catches with a linear groupBy); the
-    cap is a count-aggregate + semi-join, no extra pass over the text."""
-    sh = token_shingles(docs, id_col).persist()
-    bk = lsh_bucket_keys(minhash_signatures(sh, id_col), id_col)
-    if max_bucket_size is not None:
-        # persisted because the cap consumes bk TWICE (bucket-size agg +
-        # capped join) — unpersisted, the signature groupBy and band
-        # expansion would run twice end-to-end (measured +25% on the
-        # whole-pair bench in round 2)
-        bk = bk.persist()
+    cap is a count-aggregate + broadcast anti-join, no extra pass over
+    the text."""
+    r = MINHASH_K // BANDS
+
+    def _sig(i: int):
+        # NOTE: must be a ONE-argument lambda — F.transform inspects the
+        # lambda's arity and a second parameter (even defaulted) would be
+        # bound to the ARRAY INDEX column
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(
+                F.col("_shd"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+            )
+        ).alias(f"sig_{i}")
+
+    sigs = [_sig(i) for i in range(MINHASH_K)]
+    bands_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])
+            ).alias("band_key"),
+        )
+        for b in range(BANDS)
+    ])
+    per_doc = (
+        docs.withColumn("_toks", _ws_toks())
+        # "has >= 1 shingle", expressed on _toks BEFORE _shd exists: a
+        # where(size(_shd) > 0) AFTER the projection gets pushed below it
+        # with the whole shingle HOF inlined into the predicate, and an
+        # inlined non-lambda subexpression is re-evaluated PER ELEMENT —
+        # measured 6 s vs 0.2 s on the sf0.1 corpus
+        .where(F.size("_toks") >= SHINGLE_N)
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.array_distinct(F.expr(_shingle_case(SHINGLE_N))).alias("_shd"),
+        )
+        .select(id_col, "_shd", F.size("_shd").alias("n_sh"), *sigs)
+        .select(id_col, "_shd", "n_sh", bands_arr.alias("_bands"))
+        .persist()
+    )
+    # eager materialization: the plan consumes per_doc in FIVE branches
+    # (bucket-size agg, both self-join sides, both verify array sides);
+    # AQE materializes those query stages concurrently, and concurrent
+    # first readers of a cold cache each recompute it (measured ~5x the
+    # per_doc cost).  One count populates the cache before fan-out, and
+    # its value gates the bucket cap below.
+    n_banded = per_doc.count()
+    bk = per_doc.select(
+        id_col, "n_sh", F.explode("_bands").alias("bb")
+    ).select(
+        id_col, "n_sh",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    # a bucket can never hold more members than there are banded docs,
+    # so when n_banded <= cap the cap provably drops nothing — skip the
+    # size-aggregate + anti-join branch outright (guide §2.4)
+    if max_bucket_size is not None and n_banded > max_bucket_size:
         # OVERSIZED buckets are rare by construction (they are the
         # pathology being dropped), so the filter is a broadcast ANTI
         # join against the tiny bad-bucket list — map-side, no shuffle
@@ -227,17 +306,46 @@ def minhash_lsh_pairs(
             .select("band", "band_key")
         )
         bk = bk.join(F.broadcast(bad), ["band", "band_key"], "left_anti")
-    a, b = bk.alias("a"), bk.alias("b")
+    a = bk.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+        "band", "band_key",
+    )
+    b = bk.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+        "band", "band_key",
+    )
     cand = (
         a.join(b, ["band", "band_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-
-    return verify_jaccard_pairs(cand, sh, id_col, min_jaccard)
+    # exact verify on candidates only: |A ∩ B| from the two shingle SETS
+    # (arrays are distinct by construction)
+    arr_a = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("_shd").alias("_sa")
+    )
+    arr_b = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("_shd").alias("_sb")
+    )
+    return (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("_sa", "_sb")).cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def verify_jaccard_pairs(
@@ -442,6 +550,9 @@ def simhash_near_dup_pairs(
             f"banded candidates are exact only for max_hamming < {SIMHASH_BANDS}"
         )
     st = simhash_table(docs, id_col).persist()
+    # eager cache fill + cap gate (see minhash_lsh_pairs): no bucket can
+    # exceed the doc count, so a small corpus skips the cap branch
+    n_docs = st.count()
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -454,7 +565,7 @@ def simhash_near_dup_pairs(
         id_col, "simhash",
         F.col("bb.band").alias("band"), F.col("bb.band_bits").alias("band_bits"),
     )
-    if max_bucket_size is not None:
+    if max_bucket_size is not None and n_docs > max_bucket_size:
         # broadcast anti-join on the rare oversized buckets (see
         # minhash_lsh_pairs) — no shuffle of the full bucket table
         bad = (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pulse_spark.datapipe import dedup, events, multimodal, similarity, textstats
+from pulse_spark.sources.readers import (local_table, read_parquet_cached,
+                                         read_parquet_spread)
 from pulse_spark.text.stopwords import STOPWORDS_SQL
 
 ANN_QUERY_IDS = [0, 1, 2]
@@ -21,15 +23,20 @@ NEAR_DUP_COSINE = 0.5
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scale-adaptive spread (readers.py): small single-row-group inputs
+    # otherwise run every per-row operator in ONE task; no-op at scale
+    return read_parquet_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_spread(spark, f"{sf_dir}/embeddings.parquet", "vec_id")
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NOT spread: sessionize/hourly shuffle to user/hour keys immediately
+    # and the pre-shuffle per-row work (timestamp decode) is cheap —
+    # measured r6: the spread exchange COST 0.6 s/query here for nothing
+    return read_parquet_cached(spark, f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -209,8 +216,8 @@ def q_bm25_conv_weighted_topk(spark, sf_dir):
     from pulse_spark.datapipe import transcripts as tr
     from pulse_spark.harness import SETTINGS, _q_occurrences
 
-    occ = spark.createDataFrame(
-        _q_occurrences(SETTINGS.preprocess),
+    occ = local_table(
+        spark, _q_occurrences(SETTINGS.preprocess),
         "query_id long, pos int, term string",
     )
     res = tr.conv_weighted_topk(

@@ -251,8 +251,11 @@ def ivf_cosine_topk(
         for _, ci in dists[:n_probe]:
             probe_pairs.append((int(r["vec_id"]), int(ci)))
     spark = embeddings.sparkSession
-    probes = spark.createDataFrame(probe_pairs, "query_id long, cell int")
-    q = spark.createDataFrame(
+    from pulse_spark.sources.readers import local_table
+
+    probes = local_table(spark, probe_pairs, "query_id long, cell int")
+    q = local_table(
+        spark,
         [(int(r["vec_id"]), list(map(float, r["v"])), float(r["n"])) for r in q_rows],
         "query_id long, qv array<double>, qn double",
     )
@@ -384,7 +387,11 @@ def embedding_near_dup_pairs(
     bytes_cap = _vector_bytes_cap(dim)
     if max_bucket_size is None or max_bucket_size > bytes_cap:
         max_bucket_size = bytes_cap
-    if max_bucket_size is not None:
+    # no bucket can exceed the corpus count: a small corpus provably
+    # never trips the cap, so skip the size-agg + anti-join branch
+    # (the count is the cached _corpus_count — no extra job when the
+    # auto-bits path already ran it)
+    if max_bucket_size is not None and _corpus_count(e) > max_bucket_size:
         # sizes from the id projection only (no vector duplication in the
         # size agg); broadcast anti-join drops the rare oversized buckets
         # (see dedup.minhash_lsh_pairs) — no shuffle of the bucket table

@@ -29,40 +29,70 @@ def ws_tokens(col: Column) -> Column:
 
 def text_quality(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality signals: byte/char/token counts, stopword ratio,
-    digit ratio, mean token length, composite quality in [0,1]."""
-    t = F.col("text")
-    toks = ws_tokens(t)
-    n_chars = F.length(trimmed(t)).cast("double")
-    n_tokens = F.size(toks).cast("long")
+    digit ratio, mean token length, composite quality in [0,1].
+
+    The intermediates (trimmed text, lowered text, token array, counts)
+    are materialized as named columns in CHAINED projections rather than
+    inlined expressions: CollapseProject keeps a multi-use non-cheap
+    column as a real attribute, while the inlined form re-evaluated the
+    trim regexes ~15x and the tokenizer split ~7x per row AND fell out
+    of whole-stage codegen on expression-tree size (guide §1.2 step 2 —
+    measured: the one-Project form ran interpreted)."""
     stop_arr = F.array(*[F.lit(w) for w in sorted(STOPWORDS)])
-    n_stop = F.size(F.array_intersect(toks, stop_arr)).cast("double")
-    # ratio of DISTINCT stopwords present / distinct tokens (set semantics
-    # keep the SQL oracle simple: array_intersect is set-valued)
-    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    pre = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            trimmed(F.col("text")).alias("_trim"),
+        )
+        .select(id_col, "_trim", F.lower(F.col("_trim")).alias("_lt"))
+        .select(
+            id_col,
+            F.octet_length("_trim").cast("long").alias("n_bytes"),
+            F.length("_trim").cast("double").alias("_n_chars"),
+            "_lt",
+            F.filter(
+                F.split(F.col("_lt"), r"\s+"), lambda x: x != F.lit("")
+            ).alias("_toks"),
+        )
+        .select(
+            id_col, "n_bytes", "_n_chars", "_lt", "_toks",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            # DISTINCT stopwords present / distinct tokens (set semantics
+            # keep the SQL oracle simple: array_intersect is set-valued)
+            F.size(F.array_distinct("_toks")).cast("double").alias("_n_distinct"),
+        )
+    )
     digits = (
-        n_chars - F.length(F.regexp_replace(F.lower(trimmed(t)), "[0-9]", ""))
+        F.col("_n_chars")
+        - F.length(F.regexp_replace(F.col("_lt"), "[0-9]", ""))
     ).cast("double")
-    bpe_count = F.size(F.regexp_extract_all(F.lower(trimmed(t)), F.lit(TOKEN_RE), 0))
-    out = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.octet_length(trimmed(t)).cast("long").alias("n_bytes"),
-        n_tokens.alias("n_tokens"),
-        bpe_count.cast("long").alias("n_bpe_tokens"),
+    out = pre.select(
+        id_col,
+        "n_bytes",
+        "n_tokens",
+        F.size(F.regexp_extract_all(F.col("_lt"), F.lit(TOKEN_RE), 0))
+        .cast("long").alias("n_bpe_tokens"),
         F.round(
-            F.when(n_distinct > 0, n_stop / n_distinct).otherwise(F.lit(0.0)), 6
+            F.when(
+                F.col("_n_distinct") > 0,
+                F.size(F.array_intersect(F.col("_toks"), stop_arr)).cast("double")
+                / F.col("_n_distinct"),
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("stopword_ratio"),
         F.round(
-            F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)), 6
+            F.when(F.col("_n_chars") > 0, digits / F.col("_n_chars"))
+            .otherwise(F.lit(0.0)), 6
         ).alias("digit_ratio"),
         F.round(
             F.when(
-                n_tokens > 0,
+                F.col("n_tokens") > 0,
                 F.aggregate(
-                    F.transform(toks, lambda x: F.length(x).cast("double")),
+                    F.transform(F.col("_toks"), lambda x: F.length(x).cast("double")),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                / n_tokens.cast("double"),
+                / F.col("n_tokens").cast("double"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_token_len"),
@@ -88,19 +118,28 @@ def lang_id_heuristic(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     as this operator's entire constant (three measured forms at 3.4 M
     tokens: array_contains 17-23 s, explode + broadcast-join + re-agg
     80 s (!), isin/InSet 5.4 s — the zero-shuffle hash probe wins)."""
-    toks = ws_tokens(F.col("text"))
     stop_list = sorted(STOPWORDS)
-    n = F.size(toks).cast("double")
+    # materialize the token array and the ratio once (chained projects;
+    # the inlined form ran the tokenizer + InSet aggregate twice per row
+    # — once for the rounded ratio, once for the predicate)
+    pre = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        ws_tokens(F.col("text")).alias("_toks"),
+    )
+    n = F.size("_toks").cast("double")
     n_stop = F.aggregate(
-        toks,
+        F.col("_toks"),
         F.lit(0),
         lambda acc, x: acc + F.when(x.isin(stop_list), 1).otherwise(0),
     ).cast("double")
-    ratio = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.round(ratio, 6).alias("en_stop_ratio"),
-        (ratio >= 0.08).cast("boolean").alias("pred_en"),
+    withr = pre.select(
+        id_col,
+        F.when(n > 0, n_stop / n).otherwise(F.lit(0.0)).alias("_ratio"),
+    )
+    return withr.select(
+        id_col,
+        F.round("_ratio", 6).alias("en_stop_ratio"),
+        (F.col("_ratio") >= 0.08).cast("boolean").alias("pred_en"),
     )
 
 
@@ -210,7 +249,11 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
     negative), so n < 2 needs no sequence-style guard — but n_tokens==1
     would slice length 0 fine while n==0 makes ``n-1`` negative, so the
     `when` guard stays."""
-    toks = ws_tokens(F.col("text"))
+    # materialize the token array (r6: the zip-of-slices form still
+    # evaluated the tokenizer ~4x per row; as a named multi-use column it
+    # runs once — CollapseProject keeps it an attribute)
+    tokd = docs.select(ws_tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     zipped = F.arrays_zip(
         F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1)
@@ -219,13 +262,13 @@ def bigram_pmi(docs: DataFrame, min_count: int = 5) -> DataFrame:
         F.array().cast("array<struct<`0`:string,`1`:string>>")
     )
     bi = (
-        docs.select(F.explode(pairs).alias("p"))
+        tokd.select(F.explode(pairs).alias("p"))
         .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     uni = (
-        docs.select(F.explode(toks).alias("w"))
+        tokd.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pulse_spark.config import IndexingSettings
 from pulse_spark.index.build import postings_df, terms_df
+from pulse_spark.sources.readers import local_table, read_parquet_spread
 from pulse_spark.query.search import topk_from_tables
 from pulse_spark.text.normalize import PreprocessSettings, tokens
 from pulse_spark.text.stopwords import STOPWORDS_SQL
@@ -69,7 +70,11 @@ def _q_occurrences(settings: PreprocessSettings) -> list[tuple[int, int, str]]:
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scale-adaptive spread (readers.py): a small single-row-group file
+    # otherwise scans as ONE task and serializes every tokenizer/regex
+    # pass on the corpus through one core; no-op once the input splits
+    # to >= cores on its own
+    return read_parquet_spread(spark, f"{sf_dir}/documents.parquet", "doc_id")
 
 
 def docs_with_len(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,14 +138,38 @@ def _stats(spark, sf_dir) -> tuple[int, float]:
     return _SHARED[key]
 
 
+def _occ_with_df(spark, sf_dir, settings=SETTINGS) -> DataFrame:
+    """(query_id, pos, term, df) as ONE local Arrow table: the per-term
+    df lookup for the FIXED harness query set is collected once per
+    session (bounded by query-set size, like the other documented
+    driver-side collects) and pre-attached, so every top-k-family query
+    skips the qt-join broadcast-build job against the terms cache
+    (guide §1.2 step 2 — measured ~2 jobs per query at sf0.1).  Terms
+    absent from the corpus drop here exactly as the inner join did."""
+    key = (_evict_stale(spark), "occdf", sf_dir, settings)
+    if key not in _SHARED:
+        occ = _q_occurrences(settings.preprocess)
+        qterms = sorted({t for _, _, t in occ})
+        dfmap = {
+            r["term"]: r["df"]
+            for r in _terms(spark, sf_dir, settings)
+            .where(F.col("term").isin(qterms)).collect()
+        }
+        _SHARED[key] = [
+            (qid, pos, t, int(dfmap[t]))
+            for qid, pos, t in occ if t in dfmap
+        ]
+    return local_table(
+        spark, _SHARED[key], "query_id long, pos int, term string, df long"
+    )
+
+
 def _topk(spark, sf_dir, metric, conjunctive, settings=SETTINGS,
           doc_filter=None) -> DataFrame:
     p = _postings(spark, sf_dir, settings)
     t = _terms(spark, sf_dir, settings)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
-        _q_occurrences(settings.preprocess), "query_id long, pos int, term string"
-    )
+    occ = _occ_with_df(spark, sf_dir, settings)
     res = topk_from_tables(
         p, t, occ, n, adl, k=K, metric=metric, conjunctive=conjunctive,
         id_col="doc_id", tie_round=6, doc_filter=doc_filter,
@@ -363,9 +392,7 @@ def q_bm25_page2_topk(spark, sf_dir):
     p = _postings(spark, sf_dir)
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
-        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
-    )
+    occ = _occ_with_df(spark, sf_dir)
     res = topk_from_tables(p, t, occ, n, adl, k=K, metric="BM25",
                            id_col="doc_id", tie_round=6, offset=K)
     return res.select(
@@ -424,7 +451,7 @@ def q_bm25_segments_topk(spark, sf_dir):
     from pulse_spark.index.segments import search_segments
 
     idx = _segments_index(spark, sf_dir)
-    queries = spark.createDataFrame(HARNESS_QUERIES, "query_id long, text string")
+    queries = local_table(spark, HARNESS_QUERIES, "query_id long, text string")
     # over-fetch so boundary ties at round(·,6) precision can be re-ranked
     # on the EXTERNAL doc_id (internal dense ids sort conv_id as strings)
     res = search_segments(spark, idx, queries, k=K + 20, metric="BM25")
@@ -457,7 +484,7 @@ def q_retrieval_quality(spark, sf_dir):
 
     res = _topk(spark, sf_dir, "BM25", conjunctive=False)
     docs = load_documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
-    qids = spark.createDataFrame(
+    qids = local_table(spark, 
         [(q,) for q, _ in HARNESS_QUERIES], "query_id long"
     )
     qrels = (
@@ -489,10 +516,10 @@ def q_bm25_sidecar_topk(spark, sf_dir):
             ext = int(r.doc_no.split(":")[0])
             rows.append((qid, ext, r.score))
     if not rows:
-        return spark.createDataFrame(
+        return local_table(spark, 
             [], "query_id long, doc_id long, rank long, score double"
         )
-    df = spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+    df = local_table(spark, rows, "query_id long, doc_id long, score double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -523,10 +550,10 @@ def q_bm25_sharded_topk(spark, sf_dir):
             ext = int(r.doc_no.split(":")[0])
             rows.append((qid, ext, r.score))
     if not rows:
-        return spark.createDataFrame(
+        return local_table(spark, 
             [], "query_id long, doc_id long, rank long, score double"
         )
-    df = spark.createDataFrame(rows, "query_id long, doc_id long, score double")
+    df = local_table(spark, rows, "query_id long, doc_id long, score double")
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -568,7 +595,7 @@ def q_bm25_rm3_topk(spark, sf_dir):
     p = _postings(spark, sf_dir)
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
+    occ = local_table(spark, 
         _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
     )
     docs_text = load_documents(spark, sf_dir).select("doc_id", "text")
@@ -600,7 +627,7 @@ def q_more_like_this(spark, sf_dir):
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
     docs_text = load_documents(spark, sf_dir).select("doc_id", "text")
-    src = spark.createDataFrame([(i,) for i in MLT_SOURCES], "doc_id long")
+    src = local_table(spark, [(i,) for i in MLT_SOURCES], "doc_id long")
     res = more_like_this_topk(
         p, t, docs_text, src, n, adl, SETTINGS.preprocess,
         k=K, top_terms=MLT_TOP_TERMS, id_col="doc_id", tie_round=6,
@@ -641,7 +668,7 @@ def q_snippet_extract(spark, sf_dir):
     res = _topk(spark, sf_dir, "BM25", conjunctive=False)
     t = _terms(spark, sf_dir)
     n, _ = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
+    occ = local_table(spark, 
         _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
     )
     snip = snippet_topk(
@@ -665,7 +692,7 @@ def q_facet_counts(spark, sf_dir):
     postings, deduplicated, counted by lang and source."""
     from pulse_spark.query.facets import facet_counts
 
-    occ = spark.createDataFrame(
+    occ = local_table(spark, 
         _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
     )
     return facet_counts(
@@ -706,7 +733,7 @@ def q_bm25_prefix_topk(spark, sf_dir):
     standard BM25 pipeline per probe occurrence."""
     from pulse_spark.query.wildcard import prefix_topk
 
-    qp = spark.createDataFrame(
+    qp = local_table(spark, 
         PREFIX_PROBES, "query_id long, pos int, prefix string"
     )
     res = prefix_topk(
@@ -728,7 +755,7 @@ def q_bm25_fuzzy_topk(spark, sf_dir):
     (exact matches included), then score like any multi-term query."""
     from pulse_spark.query.wildcard import fuzzy_topk
 
-    qt = spark.createDataFrame(
+    qt = local_table(spark, 
         FUZZY_PROBES, "query_id long, pos int, token string"
     )
     res = fuzzy_topk(
@@ -765,7 +792,7 @@ def q_bm25_synonym_topk(spark, sf_dir):
     member df — the saturation curve applies ONCE per concept."""
     from pulse_spark.query.synonym import synonym_topk
 
-    qg = spark.createDataFrame(
+    qg = local_table(spark, 
         SYN_QUERIES, "query_id long, pos int, term string"
     )
     res = synonym_topk(
@@ -794,7 +821,7 @@ def q_bm25_collapse_topk(spark, sf_dir):
     p = _postings(spark, sf_dir)
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
+    occ = local_table(spark, 
         _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
     )
     res = collapse_topk(
@@ -830,7 +857,7 @@ def q_bm25_regexp_topk(spark, sf_dir):
     multi-term query."""
     from pulse_spark.query.wildcard import regexp_topk
 
-    qp = spark.createDataFrame(
+    qp = local_table(spark, 
         REGEXP_PROBES, "query_id long, pos int, pattern string"
     )
     res = regexp_topk(
@@ -869,7 +896,7 @@ def q_spell_suggest(spark, sf_dir):
     df desc, term asc)."""
     from pulse_spark.query.wildcard import suggest_terms
 
-    qt = spark.createDataFrame(
+    qt = local_table(spark, 
         SUGGEST_PROBES, "query_id long, pos int, token string"
     )
     res = suggest_terms(
@@ -905,7 +932,7 @@ def q_bm25_boolean_topk(spark, sf_dir):
     score, must-coverage and must_not-veto in a single aggregation."""
     from pulse_spark.query.boolean import boolean_topk
 
-    qc = spark.createDataFrame(
+    qc = local_table(spark, 
         BOOLEAN_QUERIES, "query_id long, pos int, term string, clause string"
     )
     res = boolean_topk(
@@ -940,7 +967,7 @@ def q_bm25_msm_topk(spark, sf_dir):
     should terms can make a query unsatisfiable."""
     from pulse_spark.query.boolean import boolean_topk
 
-    qc = spark.createDataFrame(
+    qc = local_table(spark, 
         MSM_QUERIES, "query_id long, pos int, term string, clause string"
     )
     res = boolean_topk(
@@ -965,9 +992,7 @@ def q_hit_counts(spark, sf_dir):
     p = _postings(spark, sf_dir)
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
-        _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
-    )
+    occ = _occ_with_df(spark, sf_dir)
     res = hit_stats(p, t, occ, n, adl, metric="BM25",
                     id_col="doc_id", tie_round=6)
     return res.select(
@@ -1018,7 +1043,7 @@ def q_bm25_explain(spark, sf_dir):
     p = _postings(spark, sf_dir)
     t = _terms(spark, sf_dir)
     n, adl = _stats(spark, sf_dir)
-    occ = spark.createDataFrame(
+    occ = local_table(spark, 
         _q_occurrences(SETTINGS.preprocess), "query_id long, pos int, term string"
     )
     res = explain_topk(p, t, occ, n, adl, k=K, metric="BM25",

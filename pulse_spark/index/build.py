@@ -194,8 +194,10 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    from pulse_spark.sources.readers import local_table
+
+    off_df = local_table(
+        spark, [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     out = (
         parted.join(F.broadcast(off_df), "_pid")

@@ -99,4 +99,5 @@ def boolean_topk(
         per_doc = per_doc.join(
             deletes.select(id_col).distinct(), id_col, "left_anti"
         )
-    return bounded_topk(per_doc, k, id_col, tie_round)
+    return bounded_topk(per_doc, k, id_col, tie_round,
+                        approx_candidates=n_docs)

@@ -63,7 +63,7 @@ def collapse_topk(
         .where(F.col("_gr") == 1)
         .drop("_gr")
     )
-    topk = bounded_topk(best, k, id_col, tie_round)
+    topk = bounded_topk(best, k, id_col, tie_round, approx_candidates=n_docs)
     # bounded_topk projects the group away; group_col is an expression
     # over (query_id, <id_col>, score) so re-evaluating it on the k·q
     # winners is free — no join back to the candidate set

@@ -126,7 +126,10 @@ def topk_from_tables(
         conjunctive=conjunctive, id_col=id_col, deletes=deletes,
         doc_filter=doc_filter,
     )
-    return bounded_topk(per_doc, k, id_col, tie_round, offset=offset)
+    return bounded_topk(
+        per_doc, k, id_col, tie_round, offset=offset,
+        approx_candidates=n_docs,
+    )
 
 
 def scored_candidates(
@@ -147,8 +150,15 @@ def scored_candidates(
     and anything else that ranks the candidate set differently."""
     if metric.upper() not in ("BM25", "TFIDF"):
         raise ValueError(f"{metric} is not a valid metric")  # metric.go:30-37
-    # global-term lookup: inner join drops absent terms (search.go:29-46)
-    qt = q_occurrences.join(terms.select("term", "df"), "term")
+    if "df" in q_occurrences.columns:
+        # caller pre-attached per-term df (a bounded driver-side lookup —
+        # e.g. harness._occ_with_df): the global-term join and its
+        # broadcast-build job are skipped; absent terms were dropped when
+        # the df was attached, matching the inner join's semantics
+        qt = q_occurrences
+    else:
+        # global-term lookup: inner join drops absent terms (search.go:29-46)
+        qt = q_occurrences.join(terms.select("term", "df"), "term")
 
     part = score_expr(metric, n_docs, adl)
     if "weight" in q_occurrences.columns:
@@ -212,9 +222,15 @@ def hit_stats(
     )
 
 
+# below this many candidate rows per query the phase-1 slice prune is
+# pure overhead (an extra exchange + sort + window whose only job is to
+# bound a window partition that is already tiny)
+SLICE_TOPK_MIN_CANDIDATES = 1_000_000
+
+
 def bounded_topk(
     per_doc: DataFrame, k: int, id_col: str, tie_round: int | None = None,
-    offset: int = 0,
+    offset: int = 0, approx_candidates: int | None = None,
 ) -> DataFrame:
     """Two-phase top-k (search.go:49-74's per-partition bounded heap +
     global merge, relationally) over a (query_id, <id_col>, score) frame
@@ -232,8 +248,28 @@ def bounded_topk(
     return ranks [offset, offset+k) with their ABSOLUTE rank numbers —
     page 2 of a deterministic ranking is the tail of page-1's order, so
     deep paging costs O(offset+k) per slice, the classic deep-paging
-    caveat, kept explicit rather than hidden."""
+    caveat, kept explicit rather than hidden.
+
+    approx_candidates: optional UPPER BOUND on any query's candidate
+    count (callers pass the corpus doc count — a query can never match
+    more docs than exist).  When it is provably small the slice phase is
+    skipped: the global window alone handles it in one tiny task, and
+    the pre-prune's exchange + sort + window are measured constant
+    overhead (r6, sf0.1: ~2 jobs per top-k query).  At scale — or when
+    no bound is known — the two-phase shape is kept; the result set is
+    identical either way (the global top-k is a subset of the slice
+    top-ks)."""
     key = order_key(tie_round)
+    if (
+        approx_candidates is not None
+        and approx_candidates <= SLICE_TOPK_MIN_CANDIDATES
+    ):
+        w1 = Window.partitionBy("query_id").orderBy(F.desc(key), F.asc(id_col))
+        return (
+            per_doc.withColumn("rank", F.row_number().over(w1) - 1)
+            .where((F.col("rank") < offset + k) & (F.col("rank") >= offset))
+            .select("query_id", "rank", id_col, "score")
+        )
     sliced = per_doc.withColumn("_slice", F.spark_partition_id())
     w_local = Window.partitionBy("query_id", "_slice").orderBy(
         F.desc(key), F.asc(id_col)
@@ -295,7 +331,9 @@ def prepare_query_scan(
                 occ.append((r["query_id"], pos, t))
         if not occ:
             return None, None, None
-        qt = spark.createDataFrame(occ, "query_id long, pos int, term string")
+        from pulse_spark.sources.readers import local_table
+
+        qt = local_table(spark, occ, "query_id long, pos int, term string")
         q_terms = sorted({t for _, _, t in occ})
 
     postings = index.postings

@@ -33,6 +33,8 @@ from operator import or_
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pulse_spark.sources.readers import local_table
+
 from pulse_spark.query.search import topk_from_tables
 
 
@@ -76,7 +78,7 @@ def _expand_probes(
     max_expansions per (query_id, pos) by (df desc, term asc)."""
     spark = terms.sparkSession
     per_probe = _probe_candidates(terms, sorted({p for _, _, p in probes}), match)
-    occ = spark.createDataFrame(probes, "query_id long, pos int, probe string")
+    occ = local_table(spark, probes, "query_id long, pos int, probe string")
     w = Window.partitionBy("query_id", "pos").orderBy(
         F.desc("df"), F.asc("term")
     )
@@ -107,7 +109,9 @@ def _expanded_topk(
             [], f"query_id long, rank int, {id_col} "
                 f"{'string' if id_col == 'doc_no' else 'long'}, score double"
         )
-    occ = spark.createDataFrame(rows, "query_id long, pos int, term string")
+    occ = local_table(
+        spark, [(r["query_id"], r["pos"], r["term"]) for r in rows],
+        "query_id long, pos int, term string")
     exp_terms = sorted({r["term"] for r in rows})
     if "bucket" in postings.columns and term_buckets:
         from pulse_spark.compression.xxhash64 import term_bucket
@@ -279,7 +283,7 @@ def suggest_terms(
         lambda t, p: F.levenshtein(t, F.lit(p)) <= max_edits,
         payload=lambda t, p: F.levenshtein(t, F.lit(p)).cast("int"),
     ).withColumnsRenamed({"probe": "token", "payload": "distance"})
-    occ = spark.createDataFrame(probes, "query_id long, pos int, token string")
+    occ = local_table(spark, probes, "query_id long, pos int, token string")
     per_occ = per_probe.join(F.broadcast(occ), "token")
     w = Window.partitionBy("query_id", "pos")
     ranked = (

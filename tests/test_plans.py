@@ -56,11 +56,31 @@ def test_search_plan_pushdown_and_pruning(spark, plan_index):
 
 
 def test_search_plan_partial_topk(spark, plan_index):
-    """Two window nodes: per-(query, slice) bounded top-k BEFORE the
-    global per-query window (search.go:49-74's two-phase heap shape)."""
+    """The two-phase top-k is SIZE-GATED (r6): above
+    SLICE_TOPK_MIN_CANDIDATES possible candidates the plan must show two
+    window nodes — per-(query, slice) bounded top-k BEFORE the global
+    per-query window (search.go:49-74's two-phase heap shape); at small
+    corpus bounds the slice phase is skipped (its exchange+sort+window
+    are pure overhead there) and a single window remains."""
+    from pulse_spark.query.search import (SLICE_TOPK_MIN_CANDIDATES,
+                                          bounded_topk, prepare_query_scan,
+                                          scored_candidates)
+
     q = spark.createDataFrame([(1, "spark join")], "query_id long, text string")
-    plan = _plan(search_topk(plan_index, q, k=5))
-    assert plan.count("Window") >= 2, plan
+    # small corpus (plan_index is 500 docs): gate skips the slice phase
+    small_plan = _plan(search_topk(plan_index, q, k=5))
+    assert small_plan.count("Window") == 1, small_plan
+
+    # at-scale shape: same scorer with a candidate bound above the gate
+    qt, postings, id_col = prepare_query_scan(plan_index, q)
+    per_doc = scored_candidates(
+        postings, plan_index.terms, qt, plan_index.n_docs, plan_index.adl,
+        id_col=id_col,
+    )
+    big_plan = _plan(bounded_topk(
+        per_doc, 5, id_col, approx_candidates=SLICE_TOPK_MIN_CANDIDATES + 1
+    ))
+    assert big_plan.count("Window") >= 2, big_plan
 
 
 def test_no_cartesian_in_datapipe_scale_paths(spark):
@@ -173,13 +193,18 @@ def test_boolean_and_slop_plans_are_scale_safe(spark):
     )
     assert len(posting_scans) == 1, bool_plan
 
-    slop_plan = _plan(harness.FULLTEXT_QUERIES["phrase_slop_match"](spark, sf))
-    assert "Exchange" not in slop_plan, slop_plan
-    assert "Join" not in slop_plan, slop_plan
-
-    near_plan = _plan(harness.FULLTEXT_QUERIES["near_match"](spark, sf))
-    assert "Exchange" not in near_plan, near_plan
-    assert "Join" not in near_plan, near_plan
+    # zero joins; the ONLY exchange permitted is the gated small-input
+    # spread (readers.read_parquet_spread — hash by doc_id, a no-op once
+    # the input scans as >= cores splits), so the at-scale plan remains
+    # a single corpus projection with no shuffle
+    for qname in ("phrase_slop_match", "near_match"):
+        qplan = _plan(harness.FULLTEXT_QUERIES[qname](spark, sf))
+        assert "Join" not in qplan, qplan
+        exch = [
+            ln for ln in qplan.splitlines() if "Exchange" in ln
+        ]
+        assert len(exch) <= 1, qplan
+        assert all("hashpartitioning(doc_id" in ln for ln in exch), qplan
 
 
 def test_salted_layout_splits_hot_term(spark, tmp_path):
