@@ -164,6 +164,14 @@ def unary_decode_concat(buf: bytes, byte_lens: np.ndarray,
     block's first value is therefore reset to that block's bit offset."""
     counts = np.asarray(counts, dtype=np.int64)
     byte_lens = np.asarray(byte_lens, dtype=np.int64)
+    # a byte_lens/buffer mismatch (blocks joined out of order, stale `n`
+    # column) would silently shift every per-block first-value reset and
+    # decode wrong tfs — fail loudly like the zero-count check below
+    if int(byte_lens.sum()) != len(buf):
+        raise ValueError(
+            f"unary concat buffer is {len(buf)} bytes, "
+            f"byte_lens sum to {int(byte_lens.sum())}"
+        )
     total = int(counts.sum())
     if total == 0:
         return np.zeros(0, dtype=np.uint64)

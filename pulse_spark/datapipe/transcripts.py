@@ -202,10 +202,15 @@ def conv_weighted_topk(
         "text",
     )
     # weighted conversation length includes token-less turns, so it is
-    # aggregated from the un-exploded turns table
+    # aggregated from the un-exploded turns table.  NOT persisted (r6):
+    # the stats collect below and the returned plan each compute this
+    # column-pruned agg once — a persist here was never unpersisted, so
+    # repeated calls over changing inputs in a long-lived session leaked
+    # cached partitions; the saved pass never touches text, only
+    # (conv_id, byte-length, weight)
     wlen = turns.groupBy("conv_id").agg(
         F.sum(F.col("_len") * F.col("w")).alias("doc_len")
-    ).persist()  # reused by the postings join AND the stats action
+    )
 
     tok = make_tokenizer_udf(settings.preprocess)
     wtf = (

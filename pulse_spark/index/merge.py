@@ -101,7 +101,10 @@ def merge_many(
     postings union; disable for trusted disjoint batches)."""
     if len(in_dirs) < 2:
         raise ValueError("merge needs at least two inputs")
-    if any(os.path.abspath(d) == os.path.abspath(out_dir) for d in in_dirs):
+    # realpath, not abspath: a symlink alias of an input would bypass an
+    # abspath guard and _merge_tombstones' rmtree would then delete the
+    # input's deletes/ tree mid-merge
+    if any(os.path.realpath(d) == os.path.realpath(out_dir) for d in in_dirs):
         # refuse BEFORE any stage write — merging an index into itself
         # would clobber the input mid-read
         raise ValueError("merge out_dir must differ from every input dir")

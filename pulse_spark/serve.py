@@ -175,6 +175,14 @@ class PointServer:
         not a default)."""
         import json
 
+        # unconditional (r6): the THP/madvise pathology hits the DEFAULT
+        # config too — latency_9m_warm_r05.json recorded a 29 s cold
+        # outlier (q25) on a no-arena server whose root cause is exactly
+        # the synchronous-compaction fault storm disable_numpy_hugepages
+        # documents.  The hugepage TLB win is negligible next to the
+        # 1000x fault regression, so every server opts out, not just
+        # arena-tuned ones.
+        disable_numpy_hugepages()
         if malloc_arena_mb:
             enable_malloc_arena(malloc_arena_mb)
 
@@ -865,6 +873,13 @@ class ShardedServer:
         self.shards: list[PointServer] = []
         self._procs: list = []
         self._conns: list = []
+        # the parallel fan-out/drain protocol interleaves Pipe send/recv:
+        # two concurrent callers would misattribute or corrupt replies
+        # (PointServer.search, by contrast, is concurrency-safe) — one
+        # lock serializes per-instance callers
+        import threading
+
+        self._pipe_lock = threading.Lock()
         if parallel:
             import multiprocessing as mp
 
@@ -942,23 +957,25 @@ class ShardedServer:
                     "use in-process shards or filter shard-side"
                 )
             msg = (text, k, metric, conjunctive, query_id)
-            for c in self._conns:  # fan out to EVERY shard first…
-                c.send(msg)
             pairs: list[tuple[int, float]] = []
             errs: list[str] = []
-            # drain EVERY shard's reply before raising — a partial read
-            # would leave replies in the pipes and desync the protocol
-            # for the next query
-            for i, c in enumerate(self._conns):
-                try:
-                    tag, payload = c.recv()
-                except EOFError:
-                    errs.append(f"shard {i} died mid-query")
-                    continue
-                if tag != "ok":
-                    errs.append(f"shard {i} search failed: {payload}")
-                else:
-                    pairs.extend(payload)
+            with self._pipe_lock:  # serialize callers: pipes are a
+                # per-instance protocol, not a concurrent channel
+                for c in self._conns:  # fan out to EVERY shard first…
+                    c.send(msg)
+                # drain EVERY shard's reply before raising — a partial
+                # read would leave replies in the pipes and desync the
+                # protocol for the next query
+                for i, c in enumerate(self._conns):
+                    try:
+                        tag, payload = c.recv()
+                    except EOFError:
+                        errs.append(f"shard {i} died mid-query")
+                        continue
+                    if tag != "ok":
+                        errs.append(f"shard {i} search failed: {payload}")
+                    else:
+                        pairs.extend(payload)
             if errs:
                 raise RuntimeError("; ".join(errs))
             merged = sorted(pairs, key=lambda t: (-t[1], t[0]))[:k]

@@ -393,6 +393,20 @@ def test_arena_tuning_disables_numpy_hugepages(served_index):
     with PointServer(idx.out_dir, malloc_arena_mb=16) as tuned:
         assert ([(r.doc_no, r.rank) for r in tuned.search("join merge", k=5)]
                 == [(r.doc_no, r.rank) for r in srv.search("join merge", k=5)])
+    # r6: the DEFAULT constructor (no arena) must opt out too — the 29 s
+    # cold outlier in latency_9m_warm_r05.json was a default-config
+    # server hitting the same fault storm
+    calls.clear()
+    serve.disable_numpy_hugepages = lambda: calls.append(1) or True
+    try:
+        with PointServer(idx.out_dir) as plain:
+            assert (
+                [(r.doc_no, r.rank) for r in plain.search("join merge", k=5)]
+                == [(r.doc_no, r.rank) for r in srv.search("join merge", k=5)]
+            )
+    finally:
+        serve.disable_numpy_hugepages = orig
+    assert calls, "PointServer() default init must opt out of numpy hugepages"
 
 
 def test_cli_parallel_shards(served_index, capsys):
