@@ -135,6 +135,34 @@ def near_count_expr(near_tokens: list[str], slop: int) -> Column:
     )
 
 
+def phrase_prefilter(required: list[str]) -> Column:
+    """Necessary-condition pre-prune for the phrase family (r6; the
+    two-phase plan of the module docstring): a document can only match
+    if EVERY required token appears as a substring of its lowercased
+    text, and substring containment is a codegen'd contains() — so the
+    per-row Python tokenizer and the interpreted positional HOFs run
+    only on documents that pass, instead of on the whole corpus.  The
+    plan stays a single scan + filter: no join, no shuffle, and the
+    at-scale wall drops with match selectivity.
+
+    Exactness: a token is a substring of lower(text) whenever no
+    character was REMOVED ahead of tokenization (punctuation and HTML
+    tags become spaces — they never merge runs).  Removal happens only
+    in the non-ASCII path (NFD / Mn-drop / NFC) and for ASCII control
+    characters, so rows with either BYPASS the prefilter and take the
+    exact tokenize path.  NULL text yields a NULL predicate = dropped,
+    matching the tokenizer's None -> [] -> n_occ 0."""
+    lt = F.lower(F.col("text"))
+    bypass = (
+        (F.octet_length("text") != F.length("text"))
+        | F.col("text").rlike("[\\x00-\\x08\\x0B-\\x1F\\x7F]")
+    )
+    cond = F.lit(True)
+    for t in required:
+        cond = cond & lt.contains(t)
+    return bypass | cond
+
+
 def near_match(
     docs: DataFrame,
     terms_text: str,
@@ -157,7 +185,8 @@ def near_match(
         spark = docs.sparkSession
         return spark.createDataFrame([], f"{id_col} long, n_occ long")
     return (
-        docs.withColumn("_toks", tok(F.col("text")))
+        docs.where(phrase_prefilter(sorted(set(near_tokens))))
+        .withColumn("_toks", tok(F.col("text")))
         .select(
             F.col(id_col).cast("long").alias(id_col),
             near_count_expr(near_tokens, slop).cast("long").alias("n_occ"),
@@ -190,7 +219,8 @@ def phrase_match(
         else proximity_count_expr(n, phrase_tokens, slop)
     )
     return (
-        docs.withColumn("_toks", tok(F.col("text")))
+        docs.where(phrase_prefilter(sorted(set(phrase_tokens))))
+        .withColumn("_toks", tok(F.col("text")))
         .select(
             F.col(id_col).cast("long").alias(id_col),
             count.cast("long").alias("n_occ"),

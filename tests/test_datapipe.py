@@ -277,6 +277,42 @@ def test_phrase_match_semantics(spark):
     assert got2 == {1: 1, 2: 1, 4: 2}
 
 
+def test_phrase_prefilter_exactness(spark):
+    """The r6 contains() pre-prune must never drop a true match: rows
+    whose tokenization REMOVES characters (ASCII control chars; the
+    non-ASCII Mn-normalization path) bypass the prefilter and take the
+    exact tokenize path; plain rows that can't match are pruned before
+    the Python tokenizer."""
+    from pulse_spark.query.phrase import near_match, phrase_match
+    from pulse_spark.text.normalize import PreprocessSettings
+
+    s = PreprocessSettings(stemming=False)
+    rows = [
+        (1, "spark join merge"),            # plain match
+        (2, "sp\x01ark join"),              # control char REMOVED ->
+                                            # tokenizes to "spark join":
+                                            # substring test would miss it
+        (3, "spárk join"),            # combining mark dropped by NFD
+                                            # normalization -> "spark join"
+        (4, "nothing relevant here"),       # pruned by the prefilter
+        (5, "sparkling join"),              # passes prefilter (substring),
+                                            # exact phase rejects it
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occ"]
+           for r in phrase_match(df, "spark join", s).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    gotn = {r["doc_id"]: r["n_occ"]
+            for r in near_match(df, "join spark", s, slop=1).collect()}
+    assert set(gotn) == {1, 2, 3}
+    # and the prefilter is actually in the plan (a Filter with contains
+    # below the Python tokenizer), without breaking the no-join shape
+    plan = phrase_match(df, "spark join", s)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Contains(" in plan or "contains" in plan.lower(), plan
+    assert "Join" not in plan, plan
+
+
 def test_near_dup_clusters_and_corpus_filter(spark):
     from pulse_spark.datapipe.dedup import near_dup_clusters
     from pulse_spark.datapipe.pipeline import corpus_filter, kept_corpus
