@@ -175,6 +175,51 @@ def repetition_score(
     )
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def minhash_band_keys(shd: pd.Series) -> pd.Series:
+    """BANDS band keys per distinct-shingle array, bit-identical to the
+    relational form (sig_i = min over shingles of md5(f"{i}|s") hex;
+    band_key_b = md5("|".join(sig_{b*r}..sig_{b*r+r-1}))), which both
+    the DuckDB oracle and the old explode + groupBy(min) path compute.
+
+    Why a UDF (guide §4.2): the pure-expression twin — 8 array_min(
+    transform(md5)) higher-order functions — is interpreted per element
+    (no codegen) and measured ~25 s CPU at sf0.1; hashlib runs the same
+    2.4 M digests in ~1.5 s, and a per-batch memo collapses repeated
+    shingles (Zipf) besides.  The explode + SortAggregate alternative
+    pays a corpus-wide (doc, shingle) shuffle instead (string min never
+    hash-aggregates)."""
+    import hashlib
+
+    memo: dict[str, list[str]] = {}
+    r = MINHASH_K // BANDS
+
+    def row_keys(shingles):
+        if shingles is None or len(shingles) == 0:
+            return None
+        sigs = None
+        for s in shingles:
+            hs = memo.get(s)
+            if hs is None:
+                hs = [
+                    hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                    for i in range(MINHASH_K)
+                ]
+                memo[s] = hs
+            if sigs is None:
+                sigs = list(hs)
+            else:
+                for i in range(MINHASH_K):
+                    if hs[i] < sigs[i]:
+                        sigs[i] = hs[i]
+        return [
+            hashlib.md5("|".join(sigs[b * r:(b + 1) * r]).encode()).hexdigest()
+            for b in range(BANDS)
+        ]
+
+    return shd.map(row_keys)
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, sig_0..sig_{K-1}): per-doc MinHash signature; hash_i(s) =
     md5(i || '|' || s), min taken over hex strings."""
@@ -237,43 +282,23 @@ def minhash_lsh_pairs(
     which exact_dup_groups already catches with a linear groupBy); the
     cap is a count-aggregate + broadcast anti-join, no extra pass over
     the text."""
-    r = MINHASH_K // BANDS
-
-    def _sig(i: int):
-        # NOTE: must be a ONE-argument lambda — F.transform inspects the
-        # lambda's arity and a second parameter (even defaulted) would be
-        # bound to the ARRAY INDEX column
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform(
-                F.col("_shd"), lambda s: F.md5(F.concat(F.lit(prefix), s))
-            )
-        ).alias(f"sig_{i}")
-
-    sigs = [_sig(i) for i in range(MINHASH_K)]
-    bands_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"sig_{b * r + j}") for j in range(r)])
-            ).alias("band_key"),
-        )
-        for b in range(BANDS)
-    ])
+    # NO shingle-count filter here: any WHERE on a token/shingle-derived
+    # column gets predicate-pushed below the adaptive-spread exchange
+    # with the tokenizer inlined into it — running the whole tokenize in
+    # the single-task scan stage (measured 1.5 s CPU at sf0.1).  Zero-
+    # shingle docs are excluded from banding anyway: minhash_band_keys
+    # returns NULL for them and posexplode emits no rows, exactly the
+    # old explode-path semantics (no sh rows -> no bk rows).
     per_doc = (
         docs.withColumn("_toks", _ws_toks())
-        # "has >= 1 shingle", expressed on _toks BEFORE _shd exists: a
-        # where(size(_shd) > 0) AFTER the projection gets pushed below it
-        # with the whole shingle HOF inlined into the predicate, and an
-        # inlined non-lambda subexpression is re-evaluated PER ELEMENT —
-        # measured 6 s vs 0.2 s on the sf0.1 corpus
-        .where(F.size("_toks") >= SHINGLE_N)
         .select(
             F.col(id_col).cast("long").alias(id_col),
             F.array_distinct(F.expr(_shingle_case(SHINGLE_N))).alias("_shd"),
         )
-        .select(id_col, "_shd", F.size("_shd").alias("n_sh"), *sigs)
-        .select(id_col, "_shd", "n_sh", bands_arr.alias("_bands"))
+        .select(
+            id_col, "_shd", F.size("_shd").alias("n_sh"),
+            minhash_band_keys(F.col("_shd")).alias("_bands"),
+        )
         .persist()
     )
     # eager materialization: the plan consumes per_doc in FIVE branches
@@ -284,11 +309,8 @@ def minhash_lsh_pairs(
     # its value gates the bucket cap below.
     n_banded = per_doc.count()
     bk = per_doc.select(
-        id_col, "n_sh", F.explode("_bands").alias("bb")
-    ).select(
         id_col, "n_sh",
-        F.col("bb.band").alias("band"),
-        F.col("bb.band_key").alias("band_key"),
+        F.posexplode("_bands").alias("band", "band_key"),
     )
     # a bucket can never hold more members than there are banded docs,
     # so when n_banded <= cap the cap provably drops nothing — skip the
