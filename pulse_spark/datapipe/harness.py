@@ -65,7 +65,14 @@ def q_fingerprints_xxhash(spark, sf_dir):
 
 
 def q_exact_dup_groups(spark, sf_dir):
-    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+    # unspread read: this plan reduces each row to a 32-byte digest
+    # immediately and its groupBy shuffles only digests — spreading
+    # would move the full text through an exchange first (guide §8:
+    # never shuffle heavy bytes you are about to reduce; measured
+    # 1.6 s -> 4.4 s at the 10x rehearsal when spread)
+    return dedup.exact_dup_groups(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

@@ -348,9 +348,17 @@ def q_doc_stats(spark, sf_dir):
 
 
 def q_tokens_exploded(spark, sf_dir):
-    """T1-T6 + position: the tokenized corpus (preprocess.Tokens)."""
+    """T1-T6 + position: the tokenized corpus (preprocess.Tokens).
+
+    Unspread read (r6): this plan's output is the EXPLOSION (rows >>
+    input), so the adaptive spread would shuffle the full text for a
+    tokenize that is cheap relative to materializing the output — the
+    10x rehearsal measured the spread variant 22.3 s vs 15.8 s
+    (driver-collect dominated either way)."""
+    from pulse_spark.sources.readers import read_parquet_cached
+
     tok = make_tokenizer_udf(SETTINGS.preprocess)
-    return load_documents(spark, sf_dir).select(
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("long"),
         F.posexplode(tok(F.col("text"))).alias("pos", "term"),
     ).select("doc_id", F.col("pos").cast("long"), "term")
