@@ -306,7 +306,13 @@ def minhash_lsh_pairs(
     # AQE materializes those query stages concurrently, and concurrent
     # first readers of a cold cache each recompute it (measured ~5x the
     # per_doc cost).  One count populates the cache before fan-out, and
-    # its value gates the bucket cap below.
+    # its value gates the bucket cap below.  Cache lifecycle: keyed by
+    # Spark's CacheManager on the analyzed plan, so repeated calls over
+    # the same input reuse ONE cache (as the old sh/bk persists did); a
+    # long-lived session feeding many DISTINCT inputs accumulates one
+    # cache per input and should spark.catalog.clearCache() between
+    # corpora.  Note the count also makes CONSTRUCTION run jobs — this
+    # operator's result is assumed consumed, as in the harness/driver.
     n_banded = per_doc.count()
     bk = per_doc.select(
         id_col, "n_sh",

@@ -387,11 +387,12 @@ def embedding_near_dup_pairs(
     bytes_cap = _vector_bytes_cap(dim)
     if max_bucket_size is None or max_bucket_size > bytes_cap:
         max_bucket_size = bytes_cap
-    # no bucket can exceed the corpus count: a small corpus provably
-    # never trips the cap, so skip the size-agg + anti-join branch
-    # (the count is the cached _corpus_count — no extra job when the
-    # auto-bits path already ran it)
-    if max_bucket_size is not None and _corpus_count(e) > max_bucket_size:
+    # NOT size-gated like the minhash/simhash caps: their gating counts
+    # come from a fresh count() of the frame being processed, while the
+    # count available here is the memoized _corpus_count, whose
+    # documented staleness contract covers sizing heuristics only — a
+    # stale low count must never disable a MEMORY-SAFETY cap (r6 review)
+    if max_bucket_size is not None:
         # sizes from the id projection only (no vector duplication in the
         # size agg); broadcast anti-join drops the rare oversized buckets
         # (see dedup.minhash_lsh_pairs) — no shuffle of the bucket table

@@ -151,7 +151,12 @@ def phrase_prefilter(required: list[str]) -> Column:
     in the non-ASCII path (NFD / Mn-drop / NFC) and for ASCII control
     characters, so rows with either BYPASS the prefilter and take the
     exact tokenize path.  NULL text yields a NULL predicate = dropped,
-    matching the tokenizer's None -> [] -> n_occ 0."""
+    matching the tokenizer's None -> [] -> n_occ 0.
+
+    Callers must pass SURFACE tokens: a Porter STEM is generally not a
+    substring of the matching surface form ('happy' stems to 'happi'),
+    so phrase_match/near_match skip this prefilter entirely when
+    settings.stemming is on (see their bodies)."""
     lt = F.lower(F.col("text"))
     bypass = (
         (F.octet_length("text") != F.length("text"))
@@ -184,9 +189,12 @@ def near_match(
     if not near_tokens:
         spark = docs.sparkSession
         return spark.createDataFrame([], f"{id_col} long, n_occ long")
+    # prefilter only without stemming: stemmed query tokens are not
+    # substrings of their surface forms (r6 review finding)
+    if not settings.stemming:
+        docs = docs.where(phrase_prefilter(sorted(set(near_tokens))))
     return (
-        docs.where(phrase_prefilter(sorted(set(near_tokens))))
-        .withColumn("_toks", tok(F.col("text")))
+        docs.withColumn("_toks", tok(F.col("text")))
         .select(
             F.col(id_col).cast("long").alias(id_col),
             near_count_expr(near_tokens, slop).cast("long").alias("n_occ"),
@@ -218,9 +226,12 @@ def phrase_match(
         if slop == 0
         else proximity_count_expr(n, phrase_tokens, slop)
     )
+    # prefilter only without stemming: stemmed query tokens are not
+    # substrings of their surface forms (r6 review finding)
+    if not settings.stemming:
+        docs = docs.where(phrase_prefilter(sorted(set(phrase_tokens))))
     return (
-        docs.where(phrase_prefilter(sorted(set(phrase_tokens))))
-        .withColumn("_toks", tok(F.col("text")))
+        docs.withColumn("_toks", tok(F.col("text")))
         .select(
             F.col(id_col).cast("long").alias(id_col),
             count.cast("long").alias("n_occ"),

@@ -918,19 +918,23 @@ class ShardedServer:
     def close(self):
         for s in self.shards:
             s.close()
-        for c in self._conns:
-            try:
-                c.send(None)
-            except (BrokenPipeError, OSError):
-                pass
-        for p in self._procs:
-            p.join(timeout=10)
-            if p.is_alive():
-                p.terminate()
-        for c in self._conns:
-            c.close()
-        self._conns.clear()
-        self._procs.clear()
+        # same lock as search(): a close racing a locked fan-out/drain
+        # would interleave the shutdown sentinel into the per-pipe
+        # request stream mid-protocol
+        with self._pipe_lock:
+            for c in self._conns:
+                try:
+                    c.send(None)
+                except (BrokenPipeError, OSError):
+                    pass
+            for p in self._procs:
+                p.join(timeout=10)
+                if p.is_alive():
+                    p.terminate()
+            for c in self._conns:
+                c.close()
+            self._conns.clear()
+            self._procs.clear()
 
     def __enter__(self):
         return self

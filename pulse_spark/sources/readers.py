@@ -104,7 +104,7 @@ def read_parquet_spread(spark: SparkSession, path: str, key_col: str) -> DataFra
     the partitioning is derived from the input, never a local-mode
     constant."""
     sc = spark.sparkContext
-    key = (sc.applicationId, path, "spread")
+    key = (sc.applicationId, path, "spread", key_col)
     if key not in _READ_CACHE:
         df = read_parquet_cached(spark, path)
         par = sc.defaultParallelism
@@ -127,6 +127,8 @@ def local_table(spark: SparkSession, rows, schema: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     import pandas as pd
 
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    # parse the DDL properly — naive comma-splitting breaks on types
+    # whose DDL contains commas (struct<...>, map<...>, decimal(p,s))
+    names = T.StructType.fromDDL(schema).fieldNames()
     pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
     return spark.createDataFrame(pdf, schema=schema)

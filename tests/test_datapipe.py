@@ -312,6 +312,21 @@ def test_phrase_prefilter_exactness(spark):
     assert "Contains(" in plan or "contains" in plan.lower(), plan
     assert "Join" not in plan, plan
 
+    # stemming=True must SKIP the prefilter: Porter stems ('happi') are
+    # not substrings of their surface forms, so a contains() prune on
+    # stemmed query tokens would drop true matches (r6 review finding)
+    st = PreprocessSettings(stemming=True)
+    sdf = spark.createDataFrame(
+        [(1, "happy days are here"), (2, "unrelated words")],
+        "doc_id long, text string",
+    )
+    got_st = {r["doc_id"]: r["n_occ"]
+              for r in phrase_match(sdf, "happy days", st).collect()}
+    assert got_st == {1: 1}, got_st
+    got_near_st = {r["doc_id"]: r["n_occ"]
+                   for r in near_match(sdf, "days happy", st, slop=1).collect()}
+    assert set(got_near_st) == {1}, got_near_st
+
 
 def test_near_dup_clusters_and_corpus_filter(spark):
     from pulse_spark.datapipe.dedup import near_dup_clusters
